@@ -1,0 +1,148 @@
+"""Vectorized Phong shading, shadow march, and the unrolled bounce tree.
+
+TPU-native re-design of /root/reference/inc/shading.hpp: the reference's
+per-thread recursion (`ray_color`, shading.hpp:116-154) becomes a statically
+unrolled binary tree over whole ray batches — JAX traces `bounces` levels of
+Python recursion into one fused program, with `jnp.where` masks standing in
+for the per-thread branches. Branch pruning is compile-time: scenes without
+reflective (resp. transparent) materials never spawn that child (the
+reference's `if(is_reflecting(...))` can never be true), so e.g. bunny.json
+compiles to a 6-node reflection chain instead of a 63-node tree.
+
+The unbounded shadow-march `while` (shading.hpp:22-45) becomes a fixed
+`soa.shadow_steps`-step masked march — exact whenever the number of
+transparent occluders along any shadow ray is below the cap (scene_to_soa
+picks 1 for fully-opaque scenes, where one step saturates).
+
+Accumulation-order parity (the "hard part" per SURVEY.md §7): reflection
+*adds* `refl * child` first, transparency then *blends* the whole sum:
+`rgb = (1-t)·rgb + t·child` (shading.hpp:126-150) — preserved verbatim.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cutrace_tpu.ops import intersect as I
+
+_EPS = 1e-6  # material activity threshold (default_schema.hpp:334-335)
+_UNIT_Z = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _norm(a):
+    return jnp.sqrt(_dot(a, a))
+
+
+def _normalize(a):
+    return a / _norm(a)[..., None]
+
+
+def _reflect(incoming, normal):
+    # vector.hpp:204-206
+    return incoming - 2.0 * _dot(normal, incoming)[..., None] * normal
+
+
+def shadow_intensity(soa, o, d, max_dist):
+    """Masked shadow march (shading.hpp:22-45): accumulate (1-transparency)
+    per occluder from min_dist = last_hit + 1e-3 until opacity >= 1 or the
+    march passes the light. Returns (R,) intensity in [0, 1]."""
+    R = o.shape[0]
+    intensity = jnp.zeros(R, jnp.float32)
+    last_hit = jnp.zeros(R, jnp.float32)
+    active = jnp.ones(R, bool)
+    for _ in range(soa.shadow_steps):
+        hit = I.ray_cast(soa, o, d, last_hit + 1e-3)
+        ok = active & hit.hit & (hit.t < max_dist)
+        transp = soa.mat_transparency[hit.mat]
+        intensity = intensity + jnp.where(ok, 1.0 - transp, 0.0)
+        last_hit = jnp.where(ok, hit.t, last_hit)
+        active = ok & (intensity < 1.0)
+    return jnp.where(intensity >= 1.0, 1.0, intensity)
+
+
+def light_direction_to(soa, i, point):
+    """get_direction_to for light slot i (static index): sun returns the raw
+    negated direction with infinite distance (default_schema.hpp:280-283),
+    point lights a normalized direction with Euclidean distance (:305-308)."""
+    vec = soa.light_vec[i]
+    is_sun = soa.light_kind[i] == 0
+    diff = vec[None, :] - point
+    dist = _norm(diff)
+    direction = jnp.where(is_sun, -vec[None, :], diff / dist[:, None])
+    distance = jnp.where(is_sun, jnp.inf, dist)
+    return direction, distance
+
+
+def phong(soa, d, hit: I.HitRecord):
+    """Phong shading with shadows for a batch of hits (shading.hpp:64-99).
+
+    final = ambient·diffuse
+          + Σ_lights (1-shadow)·(max(0,n·l)·diffuse·c + max(0,n·h)^p·spec·c)
+
+    with specular = mat.specular · mat.color (get_phong_params,
+    default_schema.hpp:326-332) and h the half vector. Returns (R,3);
+    only meaningful where hit.hit (caller masks)."""
+    diffuse = soa.mat_color[hit.mat]  # (R,3)
+    spec_f = soa.mat_specular[hit.mat]
+    phong_e = soa.mat_phong[hit.mat]
+    specular = spec_f[:, None] * diffuse
+
+    # NaN-safe geometry on miss lanes (masked out by the caller).
+    nrm = jnp.where(hit.hit[:, None], hit.normal, _UNIT_Z[None, :])
+    nn = _normalize(nrm)
+    minus_dn = -_normalize(d)
+
+    final = soa.ambient * diffuse
+    for i in range(soa.n_lights):
+        direction, distance = light_direction_to(soa, i, hit.point)
+        sdir = _normalize(direction)
+        # shading.hpp:80 — max_dist = distance * |direction| (sun: inf)
+        light_dist = distance * _norm(direction)
+        color = soa.light_color[i][None, :]
+
+        shadow = shadow_intensity(soa, hit.point, sdir, light_dist)
+        lit = shadow < 1.0
+
+        fd = jnp.maximum(0.0, _dot(nn, sdir))
+        hvec = _normalize(minus_dn + sdir)
+        fs = jnp.maximum(0.0, _dot(nn, hvec)) ** phong_e
+        contrib = fd[:, None] * (diffuse * color) + fs[:, None] * (specular * color)
+        final = final + jnp.where(
+            lit[:, None], (1.0 - shadow)[:, None] * contrib, 0.0
+        )
+    return final
+
+
+def ray_color(soa, o, d, min_t, bounces: int):
+    """Unrolled bounce tree (shading.hpp:116-154). Returns (R,3) linear RGB.
+
+    Every tree node is one batched ray_cast + phong over all rays, with masks
+    selecting which lanes actually spawned it. `bounces` is static (the
+    reference's template parameter, kernel.hpp:35)."""
+    hit = I.ray_cast(soa, o, d, min_t)
+    rgb = jnp.where(hit.hit[:, None], phong(soa, d, hit), 0.0)
+
+    if bounces > 0 and (soa.any_reflective or soa.any_transparent):
+        t_safe = jnp.where(hit.hit, hit.t, 1.0)
+        child_o = o + t_safe[:, None] * d  # shading.hpp:131,144
+
+        if soa.any_reflective:
+            nrm = jnp.where(hit.hit[:, None], hit.normal, _UNIT_Z[None, :])
+            refl_d = _reflect(_normalize(d), _normalize(nrm))
+            child = ray_color(soa, child_o, refl_d, min_t, bounces - 1)
+            refl = soa.mat_reflect[hit.mat]
+            mask = hit.hit & (refl >= _EPS)
+            rgb = rgb + jnp.where(mask, refl, 0.0)[:, None] * child
+
+        if soa.any_transparent:
+            child = ray_color(soa, child_o, d, min_t, bounces - 1)
+            tr = soa.mat_transparency[hit.mat]
+            f = jnp.where(hit.hit & (tr >= _EPS), tr, 0.0)[:, None]
+            rgb = (1.0 - f) * rgb + f * child
+
+    return rgb

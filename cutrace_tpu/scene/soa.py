@@ -1,0 +1,277 @@
+"""Scene -> SoA device arrays (the TPU-native "upload" layer).
+
+Equivalent of the reference's CPU->GPU conversion
+(/root/reference/inc/cpu_to_gpu.hpp:122-199) re-designed for XLA: instead of
+arrays-of-`gpu_variant` dispatched per element (inc/gpu_variant.hpp:131-267),
+every primitive kind gets its own structure-of-arrays buffer, intersected in
+one vectorized pass per kind (SURVEY.md §7 design decision "SoA, not
+variants"). Mesh triangles are flattened into the global triangle buffer with
+a `tri_mesh` id so the per-mesh AABB gate (default_schema.hpp:99-114) and the
+mesh uv-overwrite quirk (default_schema.hpp:138-139) survive the flattening.
+
+Evaluation-order parity: the reference's `ray_cast` scans objects in scene
+order and keeps strictly-closer hits (ray_cast.hpp:37-52), so the first
+minimal-t object in scene order wins ties. We stamp every primitive with its
+`obj` index and, within a mesh, flatten triangles in file order, so a
+first-occurrence argmin over (t, obj) reproduces the same winner.
+
+All geometry is float32 (the reference is fp32 end-to-end); indices int32.
+Empty kinds are padded with one never-hit sentinel primitive (valid=False)
+so every buffer has static nonzero shape under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cutrace_tpu.scene import types as T
+
+
+def _f32(x):
+    return jnp.asarray(np.asarray(x, dtype=np.float32))
+
+
+def _i32(x):
+    return jnp.asarray(np.asarray(x, dtype=np.int32))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneArrays:
+    """The device scene pytree (analog of gpu_scene_, gpu_types.hpp:263-274).
+
+    Leaf arrays trace through jit/grad; `meta` fields are static (they shape
+    the compiled program: buffer sizes, image size, which bounce-tree branches
+    exist at all).
+    """
+
+    # triangles (standalone + flattened mesh triangles, scene order)
+    tri_p1: jax.Array  # (T, 3) f32
+    tri_p2: jax.Array  # (T, 3) f32
+    tri_p3: jax.Array  # (T, 3) f32
+    tri_mat: jax.Array  # (T,) i32
+    tri_obj: jax.Array  # (T,) i32
+    tri_mesh: jax.Array  # (T,) i32  mesh slot, -1 for standalone triangles
+    tri_valid: jax.Array  # (T,) bool
+
+    # per-mesh AABBs (default_schema.hpp:573-586)
+    mesh_bmin: jax.Array  # (M, 3) f32
+    mesh_bmax: jax.Array  # (M, 3) f32
+
+    # planes
+    pl_point: jax.Array  # (P, 3) f32
+    pl_normal: jax.Array  # (P, 3) f32
+    pl_mat: jax.Array  # (P,) i32
+    pl_obj: jax.Array  # (P,) i32
+    pl_valid: jax.Array  # (P,) bool
+
+    # spheres
+    sp_center: jax.Array  # (S, 3) f32
+    sp_radius: jax.Array  # (S,) f32
+    sp_mat: jax.Array  # (S,) i32
+    sp_obj: jax.Array  # (S,) i32
+    sp_valid: jax.Array  # (S,) bool
+
+    # materials (phong_material, default_schema.hpp:319-343)
+    mat_color: jax.Array  # (K, 3) f32
+    mat_specular: jax.Array  # (K,) f32
+    mat_reflect: jax.Array  # (K,) f32
+    mat_phong: jax.Array  # (K,) f32
+    mat_transparency: jax.Array  # (K,) f32
+
+    # lights (sun / point, default_schema.hpp:267-311)
+    light_kind: jax.Array  # (L,) i32  0=sun, 1=point
+    light_vec: jax.Array  # (L, 3) f32  sun: direction; point: position
+    light_color: jax.Array  # (L, 3) f32
+    light_valid: jax.Array  # (L,) bool
+
+    # camera (default_schema.hpp:350-398); basis precomputed by look_at
+    # Recentering origin for intersection math: midpoint of the scene's
+    # authored geometry (triangle vertices, sphere centers, plane anchor
+    # points, camera eye). All casts shift positions by this before any
+    # product, restoring the reference's subtract-first f32 conditioning
+    # (see ops/intersect.py cast_triangles). Static per scene — using e.g.
+    # a batch mean instead would couple results to batch composition (and
+    # to shard boundaries on a mesh): one horizon-grazing plane hit at
+    # t ~ 1e7 would drag the origin astronomically far away.
+    scene_center: jax.Array  # (3,) f32
+
+    cam_eye: jax.Array  # (3,) f32
+    cam_forward: jax.Array  # (3,) f32
+    cam_right: jax.Array  # (3,) f32
+    cam_up: jax.Array  # (3,) f32
+    ambient: jax.Array  # () f32
+
+    # -- static metadata (compile-time, like the reference's template params) --
+    width: int = dataclasses.field(metadata=dict(static=True))
+    height: int = dataclasses.field(metadata=dict(static=True))
+    n_objects: int = dataclasses.field(metadata=dict(static=True))
+    n_lights: int = dataclasses.field(metadata=dict(static=True))
+    # Bounce-tree pruning: when no material reflects / is transparent, the
+    # corresponding child branch of shading.hpp:126-150 can never spawn, so
+    # it is pruned from the compiled program entirely.
+    any_reflective: bool = dataclasses.field(metadata=dict(static=True))
+    any_transparent: bool = dataclasses.field(metadata=dict(static=True))
+    # Upper bound on shadow-march steps (shading.hpp:22-45). With no
+    # transparent materials one occluder saturates the march.
+    shadow_steps: int = dataclasses.field(metadata=dict(static=True))
+
+
+_NAN3 = np.full((1, 3), np.nan, np.float32)
+
+
+def scene_to_soa(scene: T.Scene, shadow_steps: int = 8) -> SceneArrays:
+    """Flatten a CPU scene into the device SoA pytree.
+
+    `shadow_steps` caps the vectorized shadow march for scenes with
+    transparent materials; the reference's march (shading.hpp:22-45) is
+    unbounded, but terminates after ceil(1/min(1-transparency)) transparent
+    occluders, so the default of 8 is exact for transparency <= 0.875.
+    """
+    tp1, tp2, tp3, tmat, tobj, tmesh = [], [], [], [], [], []
+    mbmin, mbmax = [], []
+    plp, pln, plm, plo = [], [], [], []
+    spc, spr, spm, spo = [], [], [], []
+
+    for i, obj in enumerate(scene.objects):
+        if isinstance(obj, T.Triangle):
+            tp1.append(obj.p1)
+            tp2.append(obj.p2)
+            tp3.append(obj.p3)
+            tmat.append(obj.mat_idx)
+            tobj.append(i)
+            tmesh.append(-1)
+        elif isinstance(obj, T.Mesh):
+            mesh_id = len(mbmin)
+            bmin, bmax = obj.bounding_box()
+            mbmin.append(bmin)
+            mbmax.append(bmax)
+            for tri in obj.vertices:
+                tp1.append(tri[0])
+                tp2.append(tri[1])
+                tp3.append(tri[2])
+                tmat.append(obj.mat_idx)
+                tobj.append(i)
+                tmesh.append(mesh_id)
+        elif isinstance(obj, T.Plane):
+            plp.append(obj.point)
+            pln.append(obj.normal)
+            plm.append(obj.mat_idx)
+            plo.append(i)
+        elif isinstance(obj, T.Sphere):
+            spc.append(obj.center)
+            spr.append(obj.radius)
+            spm.append(obj.mat_idx)
+            spo.append(i)
+        else:
+            raise TypeError(f"unknown scene object {obj!r}")
+
+    def pad3(lst):
+        return (np.stack(lst).astype(np.float32), np.ones(len(lst), bool)) if lst \
+            else (_NAN3.copy(), np.zeros(1, bool))
+
+    def pad1(lst, dtype):
+        return np.asarray(lst if lst else [0], dtype=dtype)
+
+    tri_p1, tri_valid = pad3(tp1)
+    tri_p2, _ = pad3(tp2)
+    tri_p3, _ = pad3(tp3)
+    pl_point, pl_valid = pad3(plp)
+    pl_normal, _ = pad3(pln)
+    sp_center, sp_valid = pad3(spc)
+
+    if mbmin:
+        mesh_bmin = np.stack(mbmin).astype(np.float32)
+        mesh_bmax = np.stack(mbmax).astype(np.float32)
+    else:
+        mesh_bmin = np.full((1, 3), np.inf, np.float32)
+        mesh_bmax = np.full((1, 3), -np.inf, np.float32)
+
+    mats = scene.materials or [T.SolidMaterial(color=(0.0, 0.0, 0.0))]
+    mat_color = np.stack([m.color for m in mats]).astype(np.float32)
+    mat_specular = np.asarray([m.specular for m in mats], np.float32)
+    mat_reflect = np.asarray([m.reflect for m in mats], np.float32)
+    mat_phong = np.asarray([m.phong for m in mats], np.float32)
+    mat_transp = np.asarray([m.transparency for m in mats], np.float32)
+
+    lights = scene.lights
+    if lights:
+        light_kind = np.asarray(
+            [T.LIGHT_SUN if isinstance(l, T.Sun) else T.LIGHT_POINT for l in lights],
+            np.int32,
+        )
+        light_vec = np.stack(
+            [l.direction if isinstance(l, T.Sun) else l.point for l in lights]
+        ).astype(np.float32)
+        light_color = np.stack([l.color for l in lights]).astype(np.float32)
+        light_valid = np.ones(len(lights), bool)
+    else:
+        light_kind = np.zeros(1, np.int32)
+        light_vec = _NAN3.copy()
+        light_color = np.zeros((1, 3), np.float32)
+        light_valid = np.zeros(1, bool)
+
+    cam = scene.camera
+    forward, right, up = cam.basis()
+
+    anchor_pts = [np.asarray(cam.eye, np.float32).reshape(1, 3)]
+    if tp1:
+        anchor_pts += [np.stack(tp1), np.stack(tp2), np.stack(tp3)]
+    if spc:
+        anchor_pts.append(np.stack(spc))
+    if plp:
+        anchor_pts.append(np.stack(plp))
+    pts = np.concatenate([p.reshape(-1, 3) for p in anchor_pts]).astype(np.float64)
+    scene_center = ((pts.min(0) + pts.max(0)) / 2.0).astype(np.float32)
+
+    any_reflective = bool((mat_reflect >= 1e-6).any())
+    any_transparent = bool((mat_transp >= 1e-6).any())
+
+    return SceneArrays(
+        tri_p1=_f32(tri_p1),
+        tri_p2=_f32(tri_p2),
+        tri_p3=_f32(tri_p3),
+        tri_mat=_i32(pad1(tmat, np.int32)),
+        tri_obj=_i32(pad1(tobj, np.int32)),
+        tri_mesh=_i32(pad1(tmesh, np.int32)),
+        tri_valid=jnp.asarray(tri_valid),
+        mesh_bmin=_f32(mesh_bmin),
+        mesh_bmax=_f32(mesh_bmax),
+        pl_point=_f32(pl_point),
+        pl_normal=_f32(pl_normal),
+        pl_mat=_i32(pad1(plm, np.int32)),
+        pl_obj=_i32(pad1(plo, np.int32)),
+        pl_valid=jnp.asarray(pl_valid),
+        sp_center=_f32(sp_center),
+        sp_radius=_f32(pad1(spr, np.float32)),
+        sp_mat=_i32(pad1(spm, np.int32)),
+        sp_obj=_i32(pad1(spo, np.int32)),
+        sp_valid=jnp.asarray(sp_valid),
+        mat_color=_f32(mat_color),
+        mat_specular=_f32(mat_specular),
+        mat_reflect=_f32(mat_reflect),
+        mat_phong=_f32(mat_phong),
+        mat_transparency=_f32(mat_transp),
+        light_kind=_i32(light_kind),
+        light_vec=_f32(light_vec),
+        light_color=_f32(light_color),
+        light_valid=jnp.asarray(light_valid),
+        scene_center=_f32(scene_center),
+        cam_eye=_f32(cam.eye),
+        cam_forward=_f32(forward),
+        cam_right=_f32(right),
+        cam_up=_f32(up),
+        ambient=_f32(cam.ambient),
+        width=cam.width,
+        height=cam.height,
+        n_objects=len(scene.objects),
+        n_lights=len(lights),
+        any_reflective=any_reflective,
+        any_transparent=any_transparent,
+        shadow_steps=shadow_steps if any_transparent else 1,
+    )

@@ -1,0 +1,122 @@
+"""Device (JAX) renderer vs the scalar CPU golden renderer.
+
+Gate: pixel values allclose(atol=1e-3) everywhere EXCEPT on image
+discontinuities (object silhouettes, shadow boundaries), where the f32
+device path and the f64 golden path may legitimately resolve a knife-edge
+hit/occlusion decision differently — the CUDA reference itself, being f32,
+flips the same pixels relative to the f64 golden. Off-discontinuity
+mismatches are hard failures; on-discontinuity mismatches are budgeted.
+
+This encodes BASELINE.md's "allclose <= 1e-3 vs reference" correctness
+metric in a form that is robust to fp decision boundaries.
+"""
+
+import numpy as np
+import pytest
+
+from cutrace_tpu.render import cpuref
+from cutrace_tpu.render.renderer import render
+from cutrace_tpu.scene.loader import load_scene
+from cutrace_tpu.scene.soa import scene_to_soa
+
+
+def discontinuity_mask(ref_img: np.ndarray, thr: float = 1e-3, dilate: int = 1):
+    """Pixels adjacent to a local jump in the reference image."""
+    v = ref_img if ref_img.ndim == 2 else np.linalg.norm(ref_img, axis=-1)
+    v = np.nan_to_num(v, posinf=1e9, neginf=-1e9)
+    g = np.zeros(v.shape, bool)
+    dx = np.abs(np.diff(v, axis=1)) > thr
+    dy = np.abs(np.diff(v, axis=0)) > thr
+    g[:, 1:] |= dx
+    g[:, :-1] |= dx
+    g[1:, :] |= dy
+    g[:-1, :] |= dy
+    for _ in range(dilate):
+        g2 = g.copy()
+        g2[1:, :] |= g[:-1, :]
+        g2[:-1, :] |= g[1:, :]
+        g2[:, 1:] |= g[:, :-1]
+        g2[:, :-1] |= g[:, 1:]
+        g = g2
+    return g
+
+
+def assert_image_close(dev, ref, name, atol=1e-3, edge_budget=0.05):
+    dev, ref = np.asarray(dev), np.asarray(ref)
+    if dev.ndim == 2:
+        ok = np.isclose(dev, ref, atol=atol) | (np.isinf(dev) & np.isinf(ref))
+        bad = ~ok
+    else:
+        bad = ~(
+            np.isclose(dev, ref, atol=atol) | (np.isinf(dev) & np.isinf(ref))
+        ).all(axis=-1)
+    edges = discontinuity_mask(ref)
+    off_edge = bad & ~edges
+    assert off_edge.sum() == 0, (
+        f"{name}: {off_edge.sum()} mismatches off discontinuities at "
+        f"{np.argwhere(off_edge)[:5].tolist()}"
+    )
+    frac = bad.sum() / bad.size
+    assert frac <= edge_budget, (
+        f"{name}: {bad.sum()}/{bad.size} edge mismatches ({frac:.1%}) "
+        f"exceeds budget {edge_budget:.1%}"
+    )
+
+
+def compare_scene(scene, bounces):
+    c_ref, d_ref, n_ref = cpuref.render_cpu(scene, bounces=bounces)
+    c, d, n = render(scene, bounces=bounces)
+    assert_image_close(c, c_ref, "color")
+    assert_image_close(d, d_ref, "depth")
+    assert_image_close(n, n_ref, "normal")
+
+
+def test_triangle_full_res(scenes_dir):
+    """triangle.json at its native 20x20, full bounce depth 5 (main.cu:30)."""
+    compare_scene(load_scene(scenes_dir / "triangle.json"), bounces=5)
+
+
+def test_sphere_plane_small(scenes_dir):
+    """Transparency 0.6 + shadows + sun & point lights; the bounce tree
+    spawns both children (sphere_plane.json has reflect and transparency)."""
+    sc = load_scene(scenes_dir / "sphere_plane.json")
+    sc.camera.width, sc.camera.height = 64, 36
+    compare_scene(sc, bounces=2)
+
+
+def test_mirror_small(scenes_dir):
+    """Mesh triangles (924 tris) + reflect-0.999 mirrors."""
+    sc = load_scene(scenes_dir / "mirror.json")
+    sc.camera.width, sc.camera.height = 32, 18
+    compare_scene(sc, bounces=2)
+
+
+def test_bunny_primary_rays(scenes_dir):
+    """bunny.json (1000-triangle mesh + planes): primary cast only at a tiny
+    resolution — validates the flattened-mesh triangle path against the
+    golden at mesh scale without a long scalar render."""
+    sc = load_scene(scenes_dir / "bunny.json")
+    sc.camera.width, sc.camera.height = 32, 18
+    compare_scene(sc, bounces=0)
+
+
+def test_miss_semantics(scenes_dir):
+    """Miss pixels: depth=+inf, normal=0, color=0 (kernel.hpp:47-59 with
+    ray_cast defaults)."""
+    sc = load_scene(scenes_dir / "triangle.json")
+    c, d, n = [np.asarray(x) for x in render(sc, bounces=1)]
+    miss = ~np.isfinite(d)
+    assert miss.any()
+    assert (n[miss] == 0).all()
+    assert (c[miss] == 0).all()
+
+
+def test_chunked_equals_unchunked(scenes_dir):
+    """Chunking is an execution detail — results must be identical."""
+    sc = load_scene(scenes_dir / "triangle.json")
+    a = render(sc, bounces=1)
+    b = render(sc, bounces=1, chunk=64)
+    for x, y, name in zip(a, b, ("color", "depth", "normal")):
+        x, y = np.asarray(x), np.asarray(y)
+        both_inf = np.isinf(x) & np.isinf(y)
+        assert (np.isclose(x, y, atol=0, rtol=0) | both_inf).all(), name
