@@ -1,0 +1,87 @@
+"""Gradients of the renderer w.r.t. scene parameters.
+
+The discrete decisions in the pipeline (which primitive is hit, shadow
+occluder sets, bounce spawn masks) go through integer argmins and boolean
+masks — JAX gives them zero gradient automatically, which is exactly the
+fixed-topology differentiation BASELINE.md asks for ("gradients w.r.t.
+continuous params at fixed topology"): gradients flow through the surface
+math (intersection t, normals, shading) but not through visibility changes.
+
+`extract_params`/`with_params` split the SceneArrays pytree into its
+continuous, differentiable leaves and everything else, so jax.grad can be
+taken w.r.t. a plain dict of arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from cutrace_tpu.render.renderer import render_rays, camera_rays
+from cutrace_tpu.scene.soa import SceneArrays
+
+# Continuous scene parameters. Integer index buffers, validity masks and
+# static metadata stay fixed (changing them is a topology change).
+DIFFERENTIABLE_FIELDS = (
+    "tri_p1",
+    "tri_p2",
+    "tri_p3",
+    "pl_point",
+    "pl_normal",
+    "sp_center",
+    "sp_radius",
+    "mat_color",
+    "mat_specular",
+    "mat_reflect",
+    "mat_phong",
+    "mat_transparency",
+    "light_vec",
+    "light_color",
+    "cam_eye",
+    "cam_forward",
+    "cam_right",
+    "cam_up",
+    "ambient",
+)
+
+
+def extract_params(soa: SceneArrays) -> Dict[str, jax.Array]:
+    """The differentiable leaves of a scene, as a flat dict."""
+    return {f: getattr(soa, f) for f in DIFFERENTIABLE_FIELDS}
+
+
+def with_params(soa: SceneArrays, params: Dict[str, jax.Array]) -> SceneArrays:
+    """A scene with its differentiable leaves replaced."""
+    return dataclasses.replace(soa, **params)
+
+
+def render_image_flat(soa: SceneArrays, bounces: int, fudge):
+    """Render all pixels in one batch (no chunking) — used by loss/grad
+    paths where XLA should see a single differentiable program."""
+    n = soa.width * soa.height
+    idx = jnp.arange(n, dtype=jnp.int32)
+    o, d = camera_rays(soa, idx % soa.width, idx // soa.width)
+    color, depth, normal = render_rays(soa, o, d, bounces, fudge)
+    return color, depth, normal
+
+
+def render_loss(
+    params: Dict[str, jax.Array],
+    soa: SceneArrays,
+    target: jax.Array,
+    bounces: int = 2,
+    fudge: float = 1e-3,
+) -> jax.Array:
+    """Mean squared error between the rendered color image and `target`
+    ((H*W, 3) or (H, W, 3))."""
+    color, _, _ = render_image_flat(with_params(soa, params), bounces, fudge)
+    return jnp.mean((color - target.reshape(-1, 3)) ** 2)
+
+
+def grad_render_loss(soa, target, bounces: int = 2, fudge: float = 1e-3):
+    """(loss, grads-dict) w.r.t. all differentiable scene parameters."""
+    params = extract_params(soa)
+    return jax.value_and_grad(render_loss)(params, soa, target, bounces, fudge)

@@ -123,13 +123,17 @@ def cast_triangles(soa, o, d, min_dist, o0=None):
     gamma_n = _mm(w, a) - _mm(d, u_gamma)
     t_n = k[None, :] - _mm(o, n)
 
-    inv = 1.0 / alpha
+    # Grad safety: alpha==0 lanes are invalid anyway; dividing by a safe
+    # denominator keeps inf/NaN out of the forward so the backward pass
+    # (which multiplies local grads by zero cotangents) stays finite.
+    degenerate = alpha == 0.0
+    inv = 1.0 / jnp.where(degenerate, 1.0, alpha)
     beta = beta_n * inv
     gamma = gamma_n * inv
     t = t_n * inv
 
     valid = (
-        (alpha != 0.0)
+        ~degenerate
         & (beta >= 0.0)
         & (gamma >= 0.0)
         & (beta + gamma <= 1.0)
@@ -177,9 +181,10 @@ def cast_planes(soa, o, d, min_dist, o0=None):
     n = soa.pl_normal  # (P,3)
     k = _dot(soa.pl_point - o0, n)  # (P,)
     denom = _mm(d, n)  # (R,P)
-    t = (k[None, :] - _mm(o, n)) / denom
+    parallel = denom == 0.0
+    t = (k[None, :] - _mm(o, n)) / jnp.where(parallel, 1.0, denom)
     valid = (
-        (denom != 0.0)
+        ~parallel
         & jnp.isfinite(t)
         & (t > min_dist[:, None])
         & soa.pl_valid[None, :]
@@ -196,7 +201,15 @@ def plane_hit_attrs(soa, o, d, t, idx):
     point_on = soa.pl_point[idx]
     point = o + t[:, None] * d
     ax1 = jnp.stack([n[:, 1], -n[:, 0], jnp.zeros_like(n[:, 0])], axis=-1)
-    ax1 = _normalize(ax1)
+    # Normal parallel to z => |ax1| = 0 => NaN uv in the reference; inject
+    # the NaN from a constant branch so no NaN enters the backward pass.
+    n1 = jnp.sqrt(_dot(ax1, ax1))
+    degenerate = n1 == 0.0
+    ax1 = jnp.where(
+        degenerate[:, None],
+        jnp.nan,
+        ax1 / jnp.where(degenerate, 1.0, n1)[:, None],
+    )
     ax2 = jnp.cross(n, ax1)
     mod = point_on - point
     uv = jnp.stack([_dot(ax1, mod), _dot(ax2, mod)], axis=-1)
@@ -221,11 +234,16 @@ def cast_spheres(soa, o, d, min_dist, o0=None):
     # ec.ec = |o|^2 - 2 o.c + |c|^2
     ec2 = _dot(o, o)[:, None] - 2.0 * _mm(o, c) + _dot(c, c)[None, :]
     sub = dec * dec - (ec2 - r2[None, :])
-    sq = jnp.sqrt(sub)  # NaN where sub < 0 -> comparisons below are False
+    # The reference treats sub == 0 (exact tangent) as a hit; we treat it as
+    # a miss: sqrt'(0) = inf would otherwise poison the backward pass with
+    # inf * 0 = NaN. Deviation only at exact float equality (measure zero).
+    missed = sub <= 0.0
+    # sqrt of a safe positive value: keeps the forward NaN-free (grad safety)
+    sq = jnp.sqrt(jnp.where(missed, 1.0, sub))
     t0 = dec - sq
     t1 = dec + sq
-    v0 = jnp.isfinite(t0) & (t0 > min_dist[:, None])
-    v1 = jnp.isfinite(t1) & (t1 > min_dist[:, None])
+    v0 = ~missed & jnp.isfinite(t0) & (t0 > min_dist[:, None])
+    v1 = ~missed & jnp.isfinite(t1) & (t1 > min_dist[:, None])
     t = jnp.where(
         v0 & v1, jnp.minimum(t0, t1), jnp.where(v0, t0, jnp.where(v1, t1, INF))
     )
@@ -242,7 +260,12 @@ def sphere_hit_attrs(soa, o, d, t, idx):
     point = o + t[:, None] * dn
     normal = _normalize(point - c)
     u = 0.5 + jnp.arctan2(normal[:, 2], normal[:, 0]) / (2.0 * jnp.pi)
-    v = 0.5 + jnp.arcsin(jnp.clip(normal[:, 1], -1.0, 1.0)) / jnp.pi
+    # arcsin'(+-1) is infinite; at the poles take the exact constant value
+    # instead so the backward pass stays finite.
+    y = normal[:, 1]
+    pole = jnp.abs(y) >= 1.0
+    v_safe = jnp.arcsin(jnp.clip(y, -0.999999, 0.999999)) / jnp.pi
+    v = 0.5 + jnp.where(pole, jnp.sign(y) * 0.5, v_safe)
     return point, normal, jnp.stack([u, v], axis=-1)
 
 

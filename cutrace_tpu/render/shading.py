@@ -110,7 +110,15 @@ def phong(soa, d, hit: I.HitRecord):
 
         fd = jnp.maximum(0.0, _dot(nn, sdir))
         hvec = _normalize(minus_dn + sdir)
-        fs = jnp.maximum(0.0, _dot(nn, hvec)) ** phong_e
+        # fs = max(0, n.h)^exp (shading.hpp:88). Computed via the double-
+        # where pattern: at base == 0 the value is 0 but d/d(exp) of
+        # base**exp is 0^exp * log(0) = NaN — evaluate the pow at a safe
+        # base and select the exact 0 from a constant branch instead.
+        base = jnp.maximum(0.0, _dot(nn, hvec))
+        backfacing = base <= 0.0
+        fs = jnp.where(
+            backfacing, 0.0, jnp.where(backfacing, 1.0, base) ** phong_e
+        )
         contrib = fd[:, None] * (diffuse * color) + fs[:, None] * (specular * color)
         final = final + jnp.where(
             lit[:, None], (1.0 - shadow)[:, None] * contrib, 0.0

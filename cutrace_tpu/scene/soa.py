@@ -122,7 +122,21 @@ class SceneArrays:
     shadow_steps: int = dataclasses.field(metadata=dict(static=True))
 
 
-_NAN3 = np.full((1, 3), np.nan, np.float32)
+# Padding sentinels for empty primitive kinds: *finite* geometry parked far
+# from any scene (valid=False keeps it from ever hitting). Finite (not NaN)
+# matters for jax.grad: a NaN anywhere in the forward creates NaN * 0 = NaN
+# in the backward even through jnp.where masks.
+_FAR = 1.0e8
+_PAD_TRI = (
+    np.asarray([[_FAR, 0.0, 0.0]], np.float32),
+    np.asarray([[_FAR, 64.0, 0.0]], np.float32),
+    np.asarray([[_FAR, 0.0, 64.0]], np.float32),
+)
+_PAD_PLANE = (
+    np.asarray([[_FAR, _FAR, _FAR]], np.float32),  # point
+    np.asarray([[0.0, 1.0, 0.0]], np.float32),  # normal (y-up: finite uv axes)
+)
+_PAD_SPHERE = np.asarray([[_FAR, -_FAR, _FAR]], np.float32)
 
 
 def scene_to_soa(scene: T.Scene, shadow_steps: int = 8) -> SceneArrays:
@@ -171,19 +185,19 @@ def scene_to_soa(scene: T.Scene, shadow_steps: int = 8) -> SceneArrays:
         else:
             raise TypeError(f"unknown scene object {obj!r}")
 
-    def pad3(lst):
+    def pad3(lst, sentinel):
         return (np.stack(lst).astype(np.float32), np.ones(len(lst), bool)) if lst \
-            else (_NAN3.copy(), np.zeros(1, bool))
+            else (sentinel.copy(), np.zeros(1, bool))
 
-    def pad1(lst, dtype):
-        return np.asarray(lst if lst else [0], dtype=dtype)
+    def pad1(lst, dtype, fill=0):
+        return np.asarray(lst if lst else [fill], dtype=dtype)
 
-    tri_p1, tri_valid = pad3(tp1)
-    tri_p2, _ = pad3(tp2)
-    tri_p3, _ = pad3(tp3)
-    pl_point, pl_valid = pad3(plp)
-    pl_normal, _ = pad3(pln)
-    sp_center, sp_valid = pad3(spc)
+    tri_p1, tri_valid = pad3(tp1, _PAD_TRI[0])
+    tri_p2, _ = pad3(tp2, _PAD_TRI[1])
+    tri_p3, _ = pad3(tp3, _PAD_TRI[2])
+    pl_point, pl_valid = pad3(plp, _PAD_PLANE[0])
+    pl_normal, _ = pad3(pln, _PAD_PLANE[1])
+    sp_center, sp_valid = pad3(spc, _PAD_SPHERE)
 
     if mbmin:
         mesh_bmin = np.stack(mbmin).astype(np.float32)
@@ -212,7 +226,7 @@ def scene_to_soa(scene: T.Scene, shadow_steps: int = 8) -> SceneArrays:
         light_valid = np.ones(len(lights), bool)
     else:
         light_kind = np.zeros(1, np.int32)
-        light_vec = _NAN3.copy()
+        light_vec = np.asarray([[0.0, 0.0, 1.0]], np.float32)
         light_color = np.zeros((1, 3), np.float32)
         light_valid = np.zeros(1, bool)
 
@@ -248,7 +262,7 @@ def scene_to_soa(scene: T.Scene, shadow_steps: int = 8) -> SceneArrays:
         pl_obj=_i32(pad1(plo, np.int32)),
         pl_valid=jnp.asarray(pl_valid),
         sp_center=_f32(sp_center),
-        sp_radius=_f32(pad1(spr, np.float32)),
+        sp_radius=_f32(pad1(spr, np.float32, 1)),
         sp_mat=_i32(pad1(spm, np.int32)),
         sp_obj=_i32(pad1(spo, np.int32)),
         sp_valid=jnp.asarray(sp_valid),
