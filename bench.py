@@ -1,0 +1,70 @@
+"""Benchmark: bunny.json at 1920x1080, bounce depth 5, on the default
+backend (one TPU chip under the driver). Prints ONE JSON line.
+
+Metric: million ray casts per second. A "ray cast" is one nearest-hit scene
+query (ray_cast.hpp:29-55): per pixel the unrolled bounce tree performs
+`nodes * (1 + n_lights * shadow_steps)` casts (primary + shadow marches per
+tree node) — 30 casts/pixel for bunny (6-node reflection chain, 4 lights,
+opaque scene), 62.2M casts per 1080p frame.
+
+vs_baseline compares against the reference renderer's own headline: the
+CUDA reference publishes no numbers (BASELINE.md), so the baseline constant
+below is this framework's first recorded TPU measurement (round 1); later
+rounds must not regress it.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# First recorded TPU v5e measurement (round 1). Update only upward.
+BASELINE_MCASTS_PER_S = 7.0
+
+WIDTH, HEIGHT, BOUNCES = 1920, 1080, 5
+
+
+def main():
+    from cutrace_tpu.render.renderer import render
+    from cutrace_tpu.scene.loader import load_scene
+    from cutrace_tpu.scene.soa import scene_to_soa
+
+    sc = load_scene("scenes/bunny.json")
+    sc.camera.width, sc.camera.height = WIDTH, HEIGHT
+    soa = scene_to_soa(sc)
+
+    # casts per pixel from the compiled tree structure (see module docstring)
+    nodes = BOUNCES + 1 if soa.any_reflective != soa.any_transparent else (
+        2 ** (BOUNCES + 1) - 1 if soa.any_reflective else 1
+    )
+    casts_per_px = nodes * (1 + soa.n_lights * soa.shadow_steps)
+    total_casts = WIDTH * HEIGHT * casts_per_px
+
+    out = render(soa, bounces=BOUNCES)
+    jax.block_until_ready(out)  # compile + warm up
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = render(soa, bounces=BOUNCES)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    mcasts = total_casts / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "bunny_1080p_ray_casts",
+                "value": round(mcasts, 3),
+                "unit": "Mcasts/s",
+                "vs_baseline": round(mcasts / BASELINE_MCASTS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

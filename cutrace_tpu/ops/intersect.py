@@ -146,16 +146,64 @@ def cast_triangles(soa, o, d, min_dist, o0=None):
     return jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0], idx
 
 
-def triangle_hit_attrs(soa, o, d, t, idx):
-    """Recompute point / normal / uv for the selected triangle only.
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TriCandidate:
+    """Per-ray best-triangle candidate, carrying the winning triangle's own
+    geometry so hit attributes can be computed without a global gather —
+    this is what lets the triangle buffer live sharded across devices
+    (parallel/sharding.py) or come out of a BVH traversal."""
+
+    t: jax.Array  # (R,) f32, +inf on miss
+    obj: jax.Array  # (R,) i32 scene object index
+    order: jax.Array  # (R,) i32 global flat triangle index (tie-break key)
+    mat: jax.Array  # (R,) i32
+    is_mesh: jax.Array  # (R,) bool
+    p1: jax.Array  # (R,3) f32
+    p2: jax.Array  # (R,3) f32
+    p3: jax.Array  # (R,3) f32
+
+
+def local_tri_candidates(soa, o, d, min_dist, o0=None, order_base=0):
+    """Best triangle among soa's (possibly device-local) buffer, gathered
+    into a TriCandidate. `order_base` offsets the tie-break key when the
+    buffer is a shard of a larger scene-ordered array."""
+    t, idx = cast_triangles(soa, o, d, min_dist, o0)
+    return TriCandidate(
+        t=t,
+        obj=soa.tri_obj[idx],
+        order=idx.astype(jnp.int32) + order_base,
+        mat=soa.tri_mat[idx],
+        is_mesh=soa.tri_mesh[idx] >= 0,
+        p1=soa.tri_p1[idx],
+        p2=soa.tri_p2[idx],
+        p3=soa.tri_p3[idx],
+    )
+
+
+def combine_tri_candidates(stacked: TriCandidate) -> TriCandidate:
+    """Reduce a (K, R, ...) stack of candidates (e.g. all-gathered from K
+    primitive shards) to the per-ray winner: min t, ties to the smallest
+    global `order` (scene order — matches ray_cast.hpp:43-51)."""
+    t = stacked.t  # (K, R)
+    tmin = jnp.min(t, axis=0, keepdims=True)
+    key = jnp.where(t == tmin, stacked.order, _BIG_I32)
+    k = jnp.argmin(key, axis=0)  # (R,)
+
+    def pick(x):
+        idx = k.reshape((1,) + k.shape + (1,) * (x.ndim - 2))
+        return jnp.take_along_axis(x, idx, axis=0)[0]
+
+    return jax.tree.map(pick, stacked)
+
+
+def triangle_attrs_from_verts(p1, p2, p3, is_mesh, o, d, t):
+    """Hit attrs from explicit triangle corners.
 
     normal = -(p2-p3) x (p1-p3), normalized, never flipped toward the ray
     (default_schema.hpp:72 — the reference's "buggy normal map" kept for
     parity); uv per uv_for (default_schema.hpp:37-46); mesh triangles
     overwrite uv with (hit.x, hit.y) (default_schema.hpp:138-139)."""
-    p1 = soa.tri_p1[idx]
-    p2 = soa.tri_p2[idx]
-    p3 = soa.tri_p3[idx]
     point = o + t[:, None] * d
     normal = _normalize(-jnp.cross(p2 - p3, p1 - p3))
     p2p1 = p2 - p1
@@ -164,7 +212,6 @@ def triangle_hit_attrs(soa, o, d, t, idx):
     u = jnp.abs(_dot(xp1, p2p1)) / _dot(p2p1, p2p1)
     v = jnp.abs(_dot(xp1, p3p1)) / _dot(p3p1, p3p1)
     uv = jnp.stack([u, v], axis=-1)
-    is_mesh = soa.tri_mesh[idx] >= 0
     uv = jnp.where(is_mesh[:, None], point[:, :2], uv)
     return point, normal, uv
 
@@ -272,30 +319,36 @@ def sphere_hit_attrs(soa, o, d, t, idx):
 # --- combined nearest-hit query --------------------------------------------
 
 
-def ray_cast(soa, o, d, min_dist) -> HitRecord:
+def ray_cast(soa, o, d, min_dist, tri_candidates=None) -> HitRecord:
     """Nearest hit over all primitive kinds (ray_cast.hpp:29-55).
 
     o, d: (R,3) f32; min_dist: scalar or (R,) f32 (strict lower bound on t,
     matching `dist > min_dist` at ray_cast.hpp:44). Misses get t=+inf,
     normal=0, obj=n_objects (the reference leaves hit_id at objects.size,
-    kernel.hpp:47)."""
+    kernel.hpp:47).
+
+    `tri_candidates(soa, o, d, min_dist, o0) -> TriCandidate` overrides the
+    triangle query — the hook for BVH traversal and for primitive-sharded
+    casting (parallel/sharding.py). Default: brute-force local scan."""
     min_dist = jnp.broadcast_to(jnp.asarray(min_dist, jnp.float32), o.shape[:1])
     o0 = jax.lax.stop_gradient(soa.scene_center)
 
-    t_tri, i_tri = cast_triangles(soa, o, d, min_dist, o0)
+    if tri_candidates is None:
+        tri_candidates = local_tri_candidates
+    tri = tri_candidates(soa, o, d, min_dist, o0)
     t_pl, i_pl = cast_planes(soa, o, d, min_dist, o0)
     t_sp, i_sp = cast_spheres(soa, o, d, min_dist, o0)
 
-    ts = jnp.stack([t_tri, t_pl, t_sp], axis=-1)  # (R,3)
-    objs = jnp.stack(
-        [soa.tri_obj[i_tri], soa.pl_obj[i_pl], soa.sp_obj[i_sp]], axis=-1
-    )
+    ts = jnp.stack([tri.t, t_pl, t_sp], axis=-1)  # (R,3)
+    objs = jnp.stack([tri.obj, soa.pl_obj[i_pl], soa.sp_obj[i_sp]], axis=-1)
     kind = _first_min(ts, objs)  # (R,) 0=tri 1=plane 2=sphere
     t = jnp.take_along_axis(ts, kind[:, None], axis=1)[:, 0]
     hit = jnp.isfinite(t)
     t_safe = jnp.where(hit, t, 1.0)  # keep attr math NaN-free on misses
 
-    p_tri, n_tri, uv_tri = triangle_hit_attrs(soa, o, d, t_safe, i_tri)
+    p_tri, n_tri, uv_tri = triangle_attrs_from_verts(
+        tri.p1, tri.p2, tri.p3, tri.is_mesh, o, d, t_safe
+    )
     p_pl, n_pl, uv_pl = plane_hit_attrs(soa, o, d, t_safe, i_pl)
     p_sp, n_sp, uv_sp = sphere_hit_attrs(soa, o, d, t_safe, i_sp)
 
@@ -306,7 +359,7 @@ def ray_cast(soa, o, d, min_dist) -> HitRecord:
     point = pick(p_tri, p_pl, p_sp)
     normal = pick(n_tri, n_pl, n_sp)
     uv = pick(uv_tri, uv_pl, uv_sp)
-    mat = pick(soa.tri_mat[i_tri], soa.pl_mat[i_pl], soa.sp_mat[i_sp])
+    mat = pick(tri.mat, soa.pl_mat[i_pl], soa.sp_mat[i_sp])
     obj = jnp.take_along_axis(objs, kind[:, None], axis=1)[:, 0]
 
     zero3 = jnp.zeros_like(point)

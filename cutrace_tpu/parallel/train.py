@@ -1,0 +1,95 @@
+"""Distributed differentiable-rendering training step.
+
+The inverse-rendering analog of a data-parallel training loop: the target
+image and rendered pixels are sharded over TILE_AXIS, scene parameters are
+replicated, and the backward pass all-reduces parameter gradients across
+the mesh (the psum is inserted by shard_map's transpose for replicated
+inputs — over ICI on a real slice). This is the gradient-communication
+component called out in SURVEY.md §2's parallelism table.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cutrace_tpu.diff.grad import with_params, extract_params
+from cutrace_tpu.parallel import sharding as sh
+from cutrace_tpu.scene.soa import SceneArrays
+
+
+def sharded_loss(params, soa, mesh, target_flat, bounces, fudge):
+    """MSE between the TILE_AXIS-sharded render and target ((N,3) flat)."""
+    s = with_params(soa, params)
+    n = s.width * s.height
+    idx = jnp.arange(sh._ceil_to(n, mesh.shape[sh.TILE_AXIS]), dtype=jnp.int32)
+    idx = jax.lax.with_sharding_constraint(
+        idx, NamedSharding(mesh, P(sh.TILE_AXIS))
+    )
+    color, _, _ = sh.render_pixels_sharded(s, mesh, idx, bounces, fudge)
+    diff = (color[:n] - target_flat.reshape(-1, 3)) ** 2
+    return jnp.mean(diff)
+
+
+def make_train_step(
+    mesh: Mesh,
+    optimizer: optax.GradientTransformation,
+    bounces: int = 2,
+    fudge: float = 1e-3,
+    param_filter: Optional[Tuple[str, ...]] = None,
+) -> Callable:
+    """A jitted SGD/Adam step over scene parameters on a device mesh.
+
+    Returns step(params, opt_state, soa, target) -> (params, opt_state,
+    loss). `param_filter` restricts which parameter groups receive updates
+    (e.g. ("mat_color",) for material-only optimization); others get zero
+    updates but stay in the pytree.
+    """
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(params, opt_state, soa, target):
+        loss, grads = jax.value_and_grad(sharded_loss)(
+            params, soa, mesh, target, bounces, fudge
+        )
+        if param_filter is not None:
+            grads = {
+                k: (g if k in param_filter else jnp.zeros_like(g))
+                for k, g in grads.items()
+            }
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def fit(
+    soa: SceneArrays,
+    target,
+    mesh: Mesh,
+    steps: int = 100,
+    lr: float = 5e-2,
+    bounces: int = 2,
+    param_filter: Optional[Tuple[str, ...]] = None,
+    verbose: bool = False,
+):
+    """Optimize scene parameters to match a target image. Returns
+    (params, losses)."""
+    soa = sh.shard_scene(soa, mesh)
+    target = jnp.asarray(target, jnp.float32).reshape(-1, 3)
+    opt = optax.adam(lr)
+    params = extract_params(soa)
+    state = opt.init(params)
+    step = make_train_step(mesh, opt, bounces, param_filter=param_filter)
+    losses = []
+    for i in range(steps):
+        params, state, loss = step(params, state, soa, target)
+        losses.append(float(loss))
+        if verbose and i % 10 == 0:
+            print(f"step {i}: loss {losses[-1]:.6f}")
+    return params, losses

@@ -43,11 +43,11 @@ def camera_rays(soa: SceneArrays, px, py):
     return o, d
 
 
-def render_rays(soa: SceneArrays, o, d, bounces: int, fudge):
+def render_rays(soa: SceneArrays, o, d, bounces: int, fudge, tri_candidates=None):
     """One chunk of the pipeline: primary cast (depth/normal) + bounce tree
     (color). Returns (color (R,3), depth (R,), normal (R,3))."""
-    primary = I.ray_cast(soa, o, d, fudge)
-    color = sh.ray_color(soa, o, d, fudge, bounces)
+    primary = I.ray_cast(soa, o, d, fudge, tri_candidates)
+    color = sh.ray_color(soa, o, d, fudge, bounces, tri_candidates)
     return color, primary.t, primary.normal
 
 

@@ -47,7 +47,7 @@ def _reflect(incoming, normal):
     return incoming - 2.0 * _dot(normal, incoming)[..., None] * normal
 
 
-def shadow_intensity(soa, o, d, max_dist):
+def shadow_intensity(soa, o, d, max_dist, tri_candidates=None):
     """Masked shadow march (shading.hpp:22-45): accumulate (1-transparency)
     per occluder from min_dist = last_hit + 1e-3 until opacity >= 1 or the
     march passes the light. Returns (R,) intensity in [0, 1]."""
@@ -56,7 +56,7 @@ def shadow_intensity(soa, o, d, max_dist):
     last_hit = jnp.zeros(R, jnp.float32)
     active = jnp.ones(R, bool)
     for _ in range(soa.shadow_steps):
-        hit = I.ray_cast(soa, o, d, last_hit + 1e-3)
+        hit = I.ray_cast(soa, o, d, last_hit + 1e-3, tri_candidates)
         ok = active & hit.hit & (hit.t < max_dist)
         transp = soa.mat_transparency[hit.mat]
         intensity = intensity + jnp.where(ok, 1.0 - transp, 0.0)
@@ -78,7 +78,7 @@ def light_direction_to(soa, i, point):
     return direction, distance
 
 
-def phong(soa, d, hit: I.HitRecord):
+def phong(soa, d, hit: I.HitRecord, tri_candidates=None):
     """Phong shading with shadows for a batch of hits (shading.hpp:64-99).
 
     final = ambient·diffuse
@@ -105,7 +105,7 @@ def phong(soa, d, hit: I.HitRecord):
         light_dist = distance * _norm(direction)
         color = soa.light_color[i][None, :]
 
-        shadow = shadow_intensity(soa, hit.point, sdir, light_dist)
+        shadow = shadow_intensity(soa, hit.point, sdir, light_dist, tri_candidates)
         lit = shadow < 1.0
 
         fd = jnp.maximum(0.0, _dot(nn, sdir))
@@ -126,14 +126,14 @@ def phong(soa, d, hit: I.HitRecord):
     return final
 
 
-def ray_color(soa, o, d, min_t, bounces: int):
+def ray_color(soa, o, d, min_t, bounces: int, tri_candidates=None):
     """Unrolled bounce tree (shading.hpp:116-154). Returns (R,3) linear RGB.
 
     Every tree node is one batched ray_cast + phong over all rays, with masks
     selecting which lanes actually spawned it. `bounces` is static (the
     reference's template parameter, kernel.hpp:35)."""
-    hit = I.ray_cast(soa, o, d, min_t)
-    rgb = jnp.where(hit.hit[:, None], phong(soa, d, hit), 0.0)
+    hit = I.ray_cast(soa, o, d, min_t, tri_candidates)
+    rgb = jnp.where(hit.hit[:, None], phong(soa, d, hit, tri_candidates), 0.0)
 
     if bounces > 0 and (soa.any_reflective or soa.any_transparent):
         t_safe = jnp.where(hit.hit, hit.t, 1.0)
@@ -142,13 +142,13 @@ def ray_color(soa, o, d, min_t, bounces: int):
         if soa.any_reflective:
             nrm = jnp.where(hit.hit[:, None], hit.normal, _UNIT_Z[None, :])
             refl_d = _reflect(_normalize(d), _normalize(nrm))
-            child = ray_color(soa, child_o, refl_d, min_t, bounces - 1)
+            child = ray_color(soa, child_o, refl_d, min_t, bounces - 1, tri_candidates)
             refl = soa.mat_reflect[hit.mat]
             mask = hit.hit & (refl >= _EPS)
             rgb = rgb + jnp.where(mask, refl, 0.0)[:, None] * child
 
         if soa.any_transparent:
-            child = ray_color(soa, child_o, d, min_t, bounces - 1)
+            child = ray_color(soa, child_o, d, min_t, bounces - 1, tri_candidates)
             tr = soa.mat_transparency[hit.mat]
             f = jnp.where(hit.hit & (tr >= _EPS), tr, 0.0)[:, None]
             rgb = (1.0 - f) * rgb + f * child

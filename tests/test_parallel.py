@@ -1,0 +1,82 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh (conftest
+forces JAX_PLATFORMS=cpu + xla_force_host_platform_device_count=8).
+
+Gates (SURVEY.md §7, BASELINE.md): multi-device results must be
+deterministic and match single-device output — here they are checked
+bit-identical, which holds by construction (per-pair arithmetic is
+identical under tile/primitive sharding; combines use fixed lexicographic
+reduction order, no atomics)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cutrace_tpu.diff.grad import render_image_flat
+from cutrace_tpu.parallel import make_mesh, render_sharded
+from cutrace_tpu.parallel.train import fit
+from cutrace_tpu.render.renderer import render
+from cutrace_tpu.scene.loader import load_scene
+from cutrace_tpu.scene.soa import scene_to_soa
+
+
+@pytest.fixture(scope="module")
+def sp_soa(request):
+    sc = load_scene(request.config.rootpath / "scenes" / "sphere_plane.json")
+    sc.camera.width, sc.camera.height = 32, 16
+    return scene_to_soa(sc)
+
+
+def _identical(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return bool(((a == b) | (np.isinf(a) & np.isinf(b))).all())
+
+
+@pytest.mark.parametrize("tiles,prims", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_render_bit_identical(sp_soa, tiles, prims):
+    ref = render(sp_soa, bounces=2)
+    out = render_sharded(sp_soa, make_mesh(tiles, prims), bounces=2)
+    for a, b, name in zip(ref, out, ("color", "depth", "normal")):
+        assert _identical(a, b), f"{name} differs on mesh ({tiles},{prims})"
+
+
+def test_sharded_render_mesh_scene(scenes_dir):
+    """Primitive sharding across a mesh-heavy scene (mirror: 924 tris)."""
+    sc = load_scene(scenes_dir / "mirror.json")
+    sc.camera.width, sc.camera.height = 32, 16
+    soa = scene_to_soa(sc)
+    ref = render(soa, bounces=2)
+    out = render_sharded(soa, make_mesh(2, 4), bounces=2)
+    for a, b in zip(ref, out):
+        assert _identical(a, b)
+
+
+def test_distributed_fit_recovers_materials(sp_soa):
+    """End-to-end distributed inverse rendering on a 4x2 mesh: corrupt all
+    material colors, recover them from the target image (grad psum over
+    tiles + all_gather-combined primitive shards in the forward)."""
+    target, _, _ = render_image_flat(sp_soa, 2, 1e-3)
+    corrupt = dataclasses.replace(
+        sp_soa, mat_color=jnp.full_like(sp_soa.mat_color, 0.5)
+    )
+    params, losses = fit(
+        corrupt, target, make_mesh(4, 2), steps=120, lr=5e-2,
+        bounces=2, param_filter=("mat_color",),
+    )
+    assert losses[-1] < 1e-5, f"fit did not converge: {losses[-1]}"
+    assert np.allclose(
+        np.asarray(params["mat_color"]), np.asarray(sp_soa.mat_color),
+        atol=2e-2,
+    )
+
+
+def test_dryrun_entrypoints():
+    """The driver's dryrun contract (__graft_entry__.py)."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert all(bool(np.isfinite(np.asarray(x)).any()) for x in out)
