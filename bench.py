@@ -27,13 +27,13 @@ WIDTH, HEIGHT, BOUNCES = 1920, 1080, 5
 
 
 def main():
-    from cutrace_tpu.render.renderer import render
+    from cutrace_tpu.render.renderer import prepare, render
     from cutrace_tpu.scene.loader import load_scene
     from cutrace_tpu.scene.soa import scene_to_soa
 
     sc = load_scene("scenes/bunny.json")
     sc.camera.width, sc.camera.height = WIDTH, HEIGHT
-    soa = scene_to_soa(sc)
+    soa = prepare(scene_to_soa(sc), accel="auto")
 
     # casts per pixel from the compiled tree structure (see module docstring)
     nodes = BOUNCES + 1 if soa.any_reflective != soa.any_transparent else (

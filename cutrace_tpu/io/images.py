@@ -64,11 +64,21 @@ def to_color_bytes(color: np.ndarray) -> np.ndarray:
 
 
 def _write(path: str, data: np.ndarray) -> None:
+    if str(path).lower().endswith((".jpg", ".jpeg")):
+        # Prefer the native baseline encoder (native/jpeg.cpp — the
+        # replacement for the reference's stb_image_write), quality 90
+        # (images.hpp:39); PIL is the fallback.
+        from cutrace_tpu import native
+
+        if native.jpeg_write(path, data, quality=90):
+            return
     if Image is None:  # pragma: no cover
-        raise RuntimeError("PIL not available; cannot encode images")
+        raise RuntimeError(
+            "neither the native encoder nor PIL is available"
+        )
     img = Image.fromarray(data, mode="RGB")
     if str(path).lower().endswith((".jpg", ".jpeg")):
-        img.save(path, quality=90)  # stb quality 90 (images.hpp:39)
+        img.save(path, quality=90)
     else:
         img.save(path)
 

@@ -221,15 +221,19 @@ def triangle_attrs_from_verts(p1, p2, p3, is_mesh, o, d, t):
 
 def cast_planes(soa, o, d, min_dist, o0=None):
     """Point+normal plane intersect (default_schema.hpp:189-201). Recentered
-    about o0 for conditioning (see cast_triangles)."""
+    about o0 for conditioning (see cast_triangles). Plane counts are tiny,
+    so the (R,P) products use plain VPU broadcasting — a (R,3)@(3,P) MXU
+    matmul at HIGHEST precision costs ~10ms of multi-pass emulation for
+    P=5 on a v5e."""
     if o0 is None:
         o0 = jax.lax.stop_gradient(soa.scene_center)
     o = o - o0
     n = soa.pl_normal  # (P,3)
     k = _dot(soa.pl_point - o0, n)  # (P,)
-    denom = _mm(d, n)  # (R,P)
+    denom = jnp.sum(d[:, None, :] * n[None, :, :], axis=-1)  # (R,P)
     parallel = denom == 0.0
-    t = (k[None, :] - _mm(o, n)) / jnp.where(parallel, 1.0, denom)
+    on = jnp.sum(o[:, None, :] * n[None, :, :], axis=-1)
+    t = (k[None, :] - on) / jnp.where(parallel, 1.0, denom)
     valid = (
         ~parallel
         & jnp.isfinite(t)
@@ -276,10 +280,13 @@ def cast_spheres(soa, o, d, min_dist, o0=None):
     o = o - o0
     c = soa.sp_center - o0  # (S,3)
     r2 = soa.sp_radius**2  # (S,)
+    # Broadcast VPU form (see cast_planes — sphere counts are tiny too).
     # dec = -dn.(o - c) = dn.c - dn.o
-    dec = _mm(dn, c) - _dot(dn, o)[:, None]  # (R,S)
+    dnc = jnp.sum(dn[:, None, :] * c[None, :, :], axis=-1)  # (R,S)
+    dec = dnc - _dot(dn, o)[:, None]
     # ec.ec = |o|^2 - 2 o.c + |c|^2
-    ec2 = _dot(o, o)[:, None] - 2.0 * _mm(o, c) + _dot(c, c)[None, :]
+    oc = jnp.sum(o[:, None, :] * c[None, :, :], axis=-1)
+    ec2 = _dot(o, o)[:, None] - 2.0 * oc + _dot(c, c)[None, :]
     sub = dec * dec - (ec2 - r2[None, :])
     # The reference treats sub == 0 (exact tangent) as a hit; we treat it as
     # a miss: sqrt'(0) = inf would otherwise poison the backward pass with

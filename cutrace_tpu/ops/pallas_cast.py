@@ -1,0 +1,286 @@
+"""Pallas TPU kernel: cluster-culled nearest-triangle query.
+
+This is where the BVH speedup actually lands (ops/bvh.py builds the
+clusters). Kernel shape, chosen for the TPU's compute model:
+
+  * grid over ray tiles of TILE_R rays, rays on sublanes: per-ray data is
+    (TILE_R, 1), per-(ray, triangle) data is a dense (TILE_R, C) tile with
+    the cluster's C triangles on lanes. (Mosaic cannot dynamically index
+    the lane dimension, so cluster constants are (M, C) arrays whose
+    cluster row is a sublane-dynamic slice — the transposed layout does
+    not compile.)
+  * the cull decision is NOT made in the kernel: a vector->scalar
+    reduction per cluster stalls the scalar core ~1us each (measured: 16
+    clusters x 1024 tiles of in-kernel `any()` cost more than the culled
+    compute). Instead XLA computes a per-(tile, cluster) hit bitmask with
+    one batched slab test, and the kernel receives it as a scalar-prefetch
+    SMEM table — `@pl.when(hits[i, mi] > 0)` is a pure scalar-core read.
+    Primary rays are coherent, so most tiles skip most clusters: 2-level
+    BVH traversal with divergence paid once per (tile x cluster).
+  * the kernel returns only the winner's ORIGINAL flat triangle index (+ t)
+    — the discrete part of the query. The caller re-derives t and hit
+    attributes for that single triangle in plain JAX, so jax.grad works
+    through the continuous math with no custom_vjp — exactly the
+    fixed-topology differentiation contract (diff/grad.py).
+
+Nearest-hit semantics match ray_cast.hpp:43-51: strictly-closer wins, ties
+to the smallest original flat index (scene order), both within a cluster
+(lane min over (t, order)) and across clusters (merge refs in the
+fori_loop over clusters).
+
+Intersection math is the recentered identity form of ops/intersect.py, with
+per-triangle constants precomputed per cluster:
+  alpha = d.n    beta = (d.ub - w.b)/alpha    gamma = (w.a - d.ug)/alpha
+  t = (k - o.n)/alpha            with w = d x o,  all positions - o0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cutrace_tpu.ops import intersect as I
+from cutrace_tpu.ops.bvh import TriClusters
+
+TILE_R = 512
+_BIG = 2**30  # python int: inline literal inside the kernel
+
+
+def _cluster_constants(c: TriClusters, o0):
+    """Per-triangle constants, recentered by o0: dict of (M, C) arrays; a
+    cluster is a (1, C) sublane-dynamic row slice in the kernel."""
+    p1 = c.p1 - o0
+    p2 = c.p2 - o0
+    p3 = c.p3 - o0
+    a = p2 - p1
+    b = p2 - p3
+    n = jnp.cross(a, b)
+    ub = jnp.cross(p2, b)
+    ug = jnp.cross(p2, a)
+    k = jnp.sum(p2 * n, axis=-1)
+    out = {}
+    for name, arr in (("n", n), ("ub", ub), ("ug", ug), ("a", a), ("b", b)):
+        for ax in range(3):
+            out[f"{name}{ax}"] = arr[..., ax]  # (M, C)
+    out["k"] = k
+    out["order"] = c.order.astype(jnp.int32)
+    out["valid"] = c.valid.astype(jnp.float32)
+    return out
+
+
+_CONST_NAMES = (
+    "n0", "n1", "n2", "ub0", "ub1", "ub2", "ug0", "ug1", "ug2",
+    "a0", "a1", "a2", "b0", "b1", "b2", "k", "order", "valid",
+)
+
+
+def _cast_kernel(n_clusters, tile_r, hits_ref, rays_ref, *rest):
+    const_refs = dict(zip(_CONST_NAMES, rest[:len(_CONST_NAMES)]))
+    t_out, ord_out, bt_s, bo_s = rest[len(_CONST_NAMES):]
+
+    i = pl.program_id(0)
+    ox = rays_ref[:, 0:1]  # (TILE_R, 1)
+    oy = rays_ref[:, 1:2]
+    oz = rays_ref[:, 2:3]
+    dx = rays_ref[:, 3:4]
+    dy = rays_ref[:, 4:5]
+    dz = rays_ref[:, 5:6]
+    md = rays_ref[:, 6:7]
+    # w = d x o (per ray)
+    wx = dy * oz - dz * oy
+    wy = dz * ox - dx * oz
+    wz = dx * oy - dy * ox
+
+    bt_s[:] = jnp.full((tile_r, 1), jnp.inf, jnp.float32)
+    bo_s[:] = jnp.full((tile_r, 1), _BIG, jnp.int32)
+
+    def body(mi, _):
+        # Cull decision precomputed by XLA (scalar-prefetch SMEM read —
+        # no VPU->scalar sync; an in-kernel any() stalls ~1us per cluster).
+        @pl.when(hits_ref[i, mi] > 0)
+        def _():
+            col = lambda name: const_refs[name][pl.ds(mi, 1), :]  # (1, C)
+            n0, n1, n2 = col("n0"), col("n1"), col("n2")
+            alpha = dx * n0 + dy * n1 + dz * n2  # (TILE_R, C)
+            beta_n = (
+                dx * col("ub0") + dy * col("ub1") + dz * col("ub2")
+                - (wx * col("b0") + wy * col("b1") + wz * col("b2"))
+            )
+            gamma_n = (
+                wx * col("a0") + wy * col("a1") + wz * col("a2")
+                - (dx * col("ug0") + dy * col("ug1") + dz * col("ug2"))
+            )
+            t_n = col("k") - (ox * n0 + oy * n1 + oz * n2)
+
+            degenerate = alpha == 0.0
+            inv = 1.0 / jnp.where(degenerate, 1.0, alpha)
+            beta = beta_n * inv
+            gamma = gamma_n * inv
+            t = t_n * inv
+            valid = (
+                (~degenerate)
+                & (beta >= 0.0)
+                & (gamma >= 0.0)
+                & (beta + gamma <= 1.0)
+                & jnp.isfinite(t)
+                & (t > md)
+                & (col("valid") > 0.0)
+            )
+            t = jnp.where(valid, t, jnp.inf)
+
+            tmin_r = jnp.min(t, axis=1, keepdims=True)  # (TILE_R, 1)
+            key = jnp.where(t == tmin_r, col("order"), _BIG)
+            kmin = jnp.min(key, axis=1, keepdims=True)
+            kmin = jnp.where(jnp.isfinite(tmin_r), kmin, _BIG)
+
+            best_t = bt_s[:]
+            best_ord = bo_s[:]
+            better = (tmin_r < best_t) | (
+                (tmin_r == best_t) & (kmin < best_ord)
+            )
+            bt_s[:] = jnp.where(better, tmin_r, best_t)
+            bo_s[:] = jnp.where(better, kmin, best_ord)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_clusters, body, 0)
+    t_out[:] = bt_s[:]
+    ord_out[:] = bo_s[:]
+
+
+def _ceil_to(x, m):
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_r"))
+def _run_cast(consts, bmin, bmax, o, d, min_dist, interpret, tile_r=TILE_R):
+    """Pad rays to tile_r, run the kernel, return (t (R,), order (R,)).
+
+    o must already be recentered (o - o0); bmin/bmax are the recentered
+    (M, 3) cluster AABBs (used only for the XLA-side cull bitmask)."""
+    from cutrace_tpu.ops.bvh import slab_test
+
+    m = bmin.shape[0]
+    r = o.shape[0]
+    r_pad = _ceil_to(r, tile_r)
+    pad = r_pad - r
+
+    def pad1(x, fill):
+        return jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)]) if pad else x
+
+    rays = jnp.stack(
+        [pad1(o[:, 0], 0.0), pad1(o[:, 1], 0.0), pad1(o[:, 2], 0.0),
+         pad1(d[:, 0], 1.0), pad1(d[:, 1], 1.0), pad1(d[:, 2], 1.0),
+         pad1(min_dist, jnp.inf)],
+        axis=1,
+    )  # (R_pad, 7)
+
+    n_tiles = r_pad // tile_r
+    # XLA-side cull: (R_pad, M) slab -> per-(tile, cluster) any() bitmask.
+    ray_hits = slab_test(bmin, bmax, rays[:, 0:3], rays[:, 3:6])
+    hits = ray_hits.reshape(n_tiles, tile_r, m).any(axis=1).astype(jnp.int32)
+
+    # Constant-index block specs for the cluster tables: the pipeline skips
+    # the HBM->VMEM copy when a block's index is unchanged between grid
+    # steps, so the tables are fetched once, not once per ray tile.
+    c_dim = consts["k"].shape[1]
+    const_spec = lambda: pl.BlockSpec((m, c_dim), lambda i, s: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # hits (n_tiles, M)
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((tile_r, 7), lambda i, s: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [const_spec() for _ in _CONST_NAMES],
+        out_specs=(
+            pl.BlockSpec((tile_r, 1), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, 1), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_r, 1), jnp.float32),
+            pltpu.VMEM((tile_r, 1), jnp.int32),
+        ],
+    )
+    t, order = pl.pallas_call(
+        functools.partial(_cast_kernel, m, tile_r),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(hits, rays, *[consts[k] for k in _CONST_NAMES])
+    return t[:r, 0], order[:r, 0]
+
+
+def pallas_tri_candidates(clusters: TriClusters, interpret=None):
+    """ray_cast tri_candidates provider backed by the culling kernel.
+
+    The kernel picks the winner (discrete); t and geometry are re-derived
+    in JAX for that one triangle per ray (continuous, differentiable).
+    `interpret=True` runs the kernel in interpreter mode (CPU tests)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    m, c = clusters.mat.shape
+    flat_p1 = clusters.p1.reshape(m * c, 3)
+    flat_p2 = clusters.p2.reshape(m * c, 3)
+    flat_p3 = clusters.p3.reshape(m * c, 3)
+    flat_obj = clusters.obj.reshape(m * c)
+    flat_mat = clusters.mat.reshape(m * c)
+    flat_mesh = clusters.is_mesh.reshape(m * c)
+
+    # original flat index -> clustered slot (for gathering by kernel
+    # output). Host numpy: eager jnp scatter here would dispatch tiny ops
+    # to the TPU at provider-construction time.
+    flat_order_np = np.asarray(clusters.order).reshape(m * c)
+    valid_np = flat_order_np < _BIG
+    n_orig = int(flat_order_np[valid_np].max()) + 1 if valid_np.any() else 1
+    inv_np = np.zeros(n_orig, np.int32)
+    inv_np[flat_order_np[valid_np]] = np.nonzero(valid_np)[0].astype(np.int32)
+    inv = jnp.asarray(inv_np)
+
+    def provider(soa, o, d, min_dist, o0):
+        consts = _cluster_constants(clusters, o0)
+        t_kernel, order = _run_cast(
+            consts, clusters.bmin - o0, clusters.bmax - o0,
+            jax.lax.stop_gradient(o - o0),
+            jax.lax.stop_gradient(d), jax.lax.stop_gradient(min_dist),
+            interpret,
+        )
+        miss = order >= _BIG
+        slot = inv[jnp.clip(jnp.where(miss, 0, order), 0, inv.shape[0] - 1)]
+
+        p1 = flat_p1[slot]
+        p2 = flat_p2[slot]
+        p3 = flat_p3[slot]
+        # Re-derive t differentiably for the winning triangle only.
+        op = o - o0
+        a = (p2 - o0) - (p1 - o0)
+        b = (p2 - o0) - (p3 - o0)
+        n = jnp.cross(a, b)
+        alpha = jnp.sum(d * n, axis=-1)
+        t_n = jnp.sum(((p2 - o0) - op) * n, axis=-1)
+        alpha_safe = jnp.where(alpha == 0.0, 1.0, alpha)
+        t = t_n / alpha_safe
+        t = jnp.where(miss | (alpha == 0.0), jnp.inf, t)
+
+        return I.TriCandidate(
+            t=t,
+            obj=jnp.where(miss, _BIG, flat_obj[slot]),
+            order=jnp.where(miss, _BIG, order),
+            mat=jnp.where(miss, 0, flat_mat[slot]),
+            is_mesh=flat_mesh[slot] & ~miss,
+            p1=p1,
+            p2=p2,
+            p3=p3,
+        )
+
+    return provider

@@ -15,8 +15,9 @@ XLA CSEs what it can.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +25,50 @@ import jax.numpy as jnp
 from cutrace_tpu.ops import intersect as I
 from cutrace_tpu.render import shading as sh
 from cutrace_tpu.scene.soa import SceneArrays, scene_to_soa
+
+
+@dataclasses.dataclass(frozen=True)
+class PreparedScene:
+    """A scene plus its acceleration structure and triangle-query provider.
+
+    Build once per scene with `prepare()`; the provider's identity keys the
+    jit cache, so rendering the same PreparedScene repeatedly never
+    recompiles."""
+
+    soa: SceneArrays
+    tri_candidates: Optional[Callable] = None  # None = brute force
+    accel: str = "none"
+
+
+def prepare(scene_or_soa, accel: str = "auto") -> PreparedScene:
+    """Build the device scene + acceleration structure.
+
+    accel: "none" (brute force), "clusters" (clustered buffers, no culling
+    — the oracle), "pallas" (TPU culling kernel, interpreter on CPU), or
+    "auto" (pallas when the scene has enough triangles to matter)."""
+    soa = (
+        scene_or_soa
+        if isinstance(scene_or_soa, SceneArrays)
+        else scene_to_soa(scene_or_soa)
+    )
+    n_tris = int(soa.tri_p1.shape[0])
+    if accel == "auto":
+        accel = "pallas" if n_tris >= 256 else "none"
+    if accel == "none":
+        return PreparedScene(soa=soa)
+
+    from cutrace_tpu.ops import bvh
+
+    clusters = bvh.build_clusters(soa)
+    if accel == "clusters":
+        provider = bvh.flattened_cluster_candidates(clusters)
+    elif accel == "pallas":
+        from cutrace_tpu.ops.pallas_cast import pallas_tri_candidates
+
+        provider = pallas_tri_candidates(clusters)
+    else:
+        raise ValueError(f"unknown accel {accel!r}")
+    return PreparedScene(soa=soa, tri_candidates=provider, accel=accel)
 
 
 def camera_rays(soa: SceneArrays, px, py):
@@ -55,8 +100,12 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("bounces", "chunk"))
-def _render_padded(soa: SceneArrays, fudge, bounces: int, chunk: int):
+@functools.partial(
+    jax.jit, static_argnames=("bounces", "chunk", "tri_candidates")
+)
+def _render_padded(
+    soa: SceneArrays, fudge, bounces: int, chunk: int, tri_candidates=None
+):
     n = soa.width * soa.height
     n_pad = _ceil_to(n, chunk)
     idx = jnp.arange(n_pad, dtype=jnp.int32)
@@ -65,7 +114,7 @@ def _render_padded(soa: SceneArrays, fudge, bounces: int, chunk: int):
 
     def body(xy):
         o, d = camera_rays(soa, xy[0], xy[1])
-        return render_rays(soa, o, d, bounces, fudge)
+        return render_rays(soa, o, d, bounces, fudge, tri_candidates)
 
     color, depth, normal = jax.lax.map(body, (px, py))
     return (
@@ -87,7 +136,13 @@ def render(
     bounces/chunk are compile-time (the reference's template parameters,
     main.cu:30); fudge is the traced min-distance epsilon. `chunk` defaults
     to the whole image for small renders, else 64Ki rays (a multiple of the
-    8x128 f32 VPU tile)."""
+    8x128 f32 VPU tile). Accepts a Scene, SceneArrays (both: brute-force
+    cast) or a PreparedScene from prepare() (uses its acceleration
+    structure)."""
+    provider = None
+    if isinstance(scene_or_soa, PreparedScene):
+        provider = scene_or_soa.tri_candidates
+        scene_or_soa = scene_or_soa.soa
     soa = (
         scene_or_soa
         if isinstance(scene_or_soa, SceneArrays)
@@ -95,6 +150,13 @@ def render(
     )
     n = soa.width * soa.height
     if chunk is None:
-        chunk = n if n <= 65536 else 65536
+        # Bound peak ray-batch size: the deepest wavefront level carries
+        # 2^bounces nodes per pixel when a scene has both reflective and
+        # transparent materials (shading.ray_color).
+        max_nodes = (
+            2**bounces if (soa.any_reflective and soa.any_transparent) else 1
+        )
+        chunk = max(1024, 65536 // max_nodes)
+        chunk = min(chunk, _ceil_to(n, 8))
     chunk = max(8, min(chunk, _ceil_to(n, 8)))
-    return _render_padded(soa, jnp.float32(fudge), bounces, chunk)
+    return _render_padded(soa, jnp.float32(fudge), bounces, chunk, provider)

@@ -1,13 +1,13 @@
 """Vectorized Phong shading, shadow march, and the unrolled bounce tree.
 
 TPU-native re-design of /root/reference/inc/shading.hpp: the reference's
-per-thread recursion (`ray_color`, shading.hpp:116-154) becomes a statically
-unrolled binary tree over whole ray batches — JAX traces `bounces` levels of
-Python recursion into one fused program, with `jnp.where` masks standing in
-for the per-thread branches. Branch pruning is compile-time: scenes without
-reflective (resp. transparent) materials never spawn that child (the
-reference's `if(is_reflecting(...))` can never be true), so e.g. bunny.json
-compiles to a 6-node reflection chain instead of a 63-node tree.
+per-thread recursion (`ray_color`, shading.hpp:116-154) becomes a wavefront
+evaluation over whole ray batches — one batched cast+shade per tree LEVEL,
+with path weights carrying the reference's exact blend coefficients (see
+ray_color). Branch pruning is compile-time: scenes without reflective
+(resp. transparent) materials never spawn that child (the reference's
+`if(is_reflecting(...))` can never be true), so e.g. bunny.json evaluates
+one node per level instead of a binary tree.
 
 The unbounded shadow-march `while` (shading.hpp:22-45) becomes a fixed
 `soa.shadow_steps`-step masked march — exact whenever the number of
@@ -127,11 +127,81 @@ def phong(soa, d, hit: I.HitRecord, tri_candidates=None):
 
 
 def ray_color(soa, o, d, min_t, bounces: int, tri_candidates=None):
-    """Unrolled bounce tree (shading.hpp:116-154). Returns (R,3) linear RGB.
+    """Bounce color, evaluated wavefront-style (one batched cast per tree
+    LEVEL instead of per tree node). Returns (R,3) linear RGB.
 
-    Every tree node is one batched ray_cast + phong over all rays, with masks
-    selecting which lanes actually spawned it. `bounces` is static (the
-    reference's template parameter, kernel.hpp:35)."""
+    The reference recursion (shading.hpp:116-154)
+
+        rgb = phong
+        if reflecting:  rgb += r * C(reflected)
+        if transparent: rgb  = (1-f) * rgb + f * C(straight)
+
+    is affine in both children: C(node) = (1-f)·phong + (1-f)·r·C(refl)
+    + f·C(straight). Unrolling that linearity gives
+
+        color = Σ_nodes  w(node) · (1-f(node)) · phong(node)
+        w(root) = 1;  w(refl-child) = w·(1-f)·r;  w(straight-child) = w·f
+
+    (leaves use w·phong — no blend happens at bounce depth 0). All nodes of
+    one depth share a single ray_cast/phong over a (n_nodes·R) ray batch,
+    so the compiled program grows linearly with `bounces` while the
+    reference's 2^bounces tree semantics (and its accumulation values) are
+    preserved; only fp summation order differs. Branches a scene's
+    materials can never spawn are pruned at trace time (soa.any_*)."""
+    R = o.shape[0]
+    min_t = jnp.broadcast_to(jnp.asarray(min_t, jnp.float32), (R,))
+
+    color = jnp.zeros((R, 3), jnp.float32)
+    os_, ds_ = o, d
+    ws = jnp.ones((R,), jnp.float32)
+
+    for level in range(bounces + 1):
+        n_nodes = os_.shape[0] // R
+        mt = jnp.tile(min_t, n_nodes)
+        hit = I.ray_cast(soa, os_, ds_, mt, tri_candidates)
+        ph = jnp.where(
+            hit.hit[:, None], phong(soa, ds_, hit, tri_candidates), 0.0
+        )
+
+        last = level == bounces or not (soa.any_reflective or soa.any_transparent)
+        if last:
+            contrib = ws[:, None] * ph
+            color = color + contrib.reshape(n_nodes, R, 3).sum(axis=0)
+            break
+
+        tr = soa.mat_transparency[hit.mat]
+        f = jnp.where(hit.hit & (tr >= _EPS), tr, 0.0) if soa.any_transparent \
+            else jnp.zeros_like(ws)
+        contrib = (ws * (1.0 - f))[:, None] * ph
+        color = color + contrib.reshape(n_nodes, R, 3).sum(axis=0)
+
+        t_safe = jnp.where(hit.hit, hit.t, 1.0)
+        child_o = os_ + t_safe[:, None] * ds_  # shading.hpp:131,144
+        next_o, next_d, next_w = [], [], []
+        if soa.any_reflective:
+            nrm = jnp.where(hit.hit[:, None], hit.normal, _UNIT_Z[None, :])
+            refl_d = _reflect(_normalize(ds_), _normalize(nrm))
+            refl = soa.mat_reflect[hit.mat]
+            r = jnp.where(hit.hit & (refl >= _EPS), refl, 0.0)
+            next_o.append(child_o)
+            next_d.append(refl_d)
+            next_w.append(ws * (1.0 - f) * r)
+        if soa.any_transparent:
+            next_o.append(child_o)
+            next_d.append(ds_)
+            next_w.append(ws * f)
+        os_ = jnp.concatenate(next_o, axis=0)
+        ds_ = jnp.concatenate(next_d, axis=0)
+        ws = jnp.concatenate(next_w, axis=0)
+
+    return color
+
+
+def ray_color_recursive(soa, o, d, min_t, bounces: int, tri_candidates=None):
+    """Direct transcription of the reference recursion (shading.hpp:116-154)
+    — one ray_cast per tree NODE. Kept as the semantic cross-check for the
+    wavefront evaluation above (tests assert they agree); the wavefront
+    form is the production path (2^bounces times smaller program)."""
     hit = I.ray_cast(soa, o, d, min_t, tri_candidates)
     rgb = jnp.where(hit.hit[:, None], phong(soa, d, hit, tri_candidates), 0.0)
 
@@ -142,13 +212,13 @@ def ray_color(soa, o, d, min_t, bounces: int, tri_candidates=None):
         if soa.any_reflective:
             nrm = jnp.where(hit.hit[:, None], hit.normal, _UNIT_Z[None, :])
             refl_d = _reflect(_normalize(d), _normalize(nrm))
-            child = ray_color(soa, child_o, refl_d, min_t, bounces - 1, tri_candidates)
+            child = ray_color_recursive(soa, child_o, refl_d, min_t, bounces - 1, tri_candidates)
             refl = soa.mat_reflect[hit.mat]
             mask = hit.hit & (refl >= _EPS)
             rgb = rgb + jnp.where(mask, refl, 0.0)[:, None] * child
 
         if soa.any_transparent:
-            child = ray_color(soa, child_o, d, min_t, bounces - 1, tri_candidates)
+            child = ray_color_recursive(soa, child_o, d, min_t, bounces - 1, tri_candidates)
             tr = soa.mat_transparency[hit.mat]
             f = jnp.where(hit.hit & (tr >= _EPS), tr, 0.0)[:, None]
             rgb = (1.0 - f) * rgb + f * child

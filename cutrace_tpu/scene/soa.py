@@ -139,13 +139,16 @@ _PAD_PLANE = (
 _PAD_SPHERE = np.asarray([[_FAR, -_FAR, _FAR]], np.float32)
 
 
-def scene_to_soa(scene: T.Scene, shadow_steps: int = 8) -> SceneArrays:
+def scene_to_soa(scene: T.Scene, shadow_steps: int = 16) -> SceneArrays:
     """Flatten a CPU scene into the device SoA pytree.
 
-    `shadow_steps` caps the vectorized shadow march for scenes with
-    transparent materials; the reference's march (shading.hpp:22-45) is
-    unbounded, but terminates after ceil(1/min(1-transparency)) transparent
-    occluders, so the default of 8 is exact for transparency <= 0.875.
+    The vectorized shadow march runs a fixed number of steps. Every
+    occluder adds at least (1 - t_max) opacity (t_max = the scene's largest
+    material transparency), and the reference's unbounded march
+    (shading.hpp:22-45) stops at accumulated opacity >= 1, so
+    ceil(1 / (1 - t_max)) steps reproduce it exactly; `shadow_steps` is
+    only a safety cap on that (it binds when t_max >= 1 - 1/cap — at
+    exactly t_max == 1 the reference never terminates at all).
     """
     tp1, tp2, tp3, tmat, tobj, tmesh = [], [], [], [], [], []
     mbmin, mbmax = [], []
@@ -245,6 +248,11 @@ def scene_to_soa(scene: T.Scene, shadow_steps: int = 8) -> SceneArrays:
 
     any_reflective = bool((mat_reflect >= 1e-6).any())
     any_transparent = bool((mat_transp >= 1e-6).any())
+    t_max = float(mat_transp.max()) if len(mats) else 0.0
+    if t_max >= 1.0:
+        exact_steps = shadow_steps
+    else:
+        exact_steps = int(np.ceil(1.0 / (1.0 - t_max)))
 
     return SceneArrays(
         tri_p1=_f32(tri_p1),
@@ -287,5 +295,5 @@ def scene_to_soa(scene: T.Scene, shadow_steps: int = 8) -> SceneArrays:
         n_lights=len(lights),
         any_reflective=any_reflective,
         any_transparent=any_transparent,
-        shadow_steps=shadow_steps if any_transparent else 1,
+        shadow_steps=min(max(exact_steps, 1), shadow_steps),
     )

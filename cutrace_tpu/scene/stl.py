@@ -52,7 +52,24 @@ def load_stl(path: str) -> np.ndarray:
     """Load an STL file into an (N, 3, 3) float32 triangle-corner array.
 
     Returns an empty (0, 3, 3) array if the file is missing or malformed,
-    matching the reference's silent-empty-mesh behavior."""
+    matching the reference's silent-empty-mesh behavior. Prefers the
+    native C++ parser (cutrace_tpu.native) when built."""
+    from cutrace_tpu import native
+
+    if native.available():
+        try:
+            tris = native.stl_parse(path)
+            if tris is not None:
+                return tris
+        except OSError as e:
+            print(
+                f"warning: could not open mesh file '{path}': {e}",
+                file=sys.stderr,
+            )
+            return np.zeros((0, 3, 3), np.float32)
+        except ValueError:
+            print(f"warning: mesh file '{path}' is malformed", file=sys.stderr)
+            return np.zeros((0, 3, 3), np.float32)
     try:
         with open(path, "rb") as f:
             data = f.read()

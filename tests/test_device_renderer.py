@@ -111,6 +111,29 @@ def test_miss_semantics(scenes_dir):
     assert (c[miss] == 0).all()
 
 
+def test_wavefront_matches_recursive(scenes_dir):
+    """The production wavefront bounce evaluation must agree with the
+    direct transcription of the reference recursion (identical semantics,
+    only fp summation order differs — see shading.ray_color)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cutrace_tpu.render import shading as sh
+    from cutrace_tpu.render.renderer import camera_rays
+
+    for name, b in (("sphere_plane.json", 3), ("mirror.json", 2)):
+        sc = load_scene(scenes_dir / name)
+        sc.camera.width, sc.camera.height = 32, 18
+        soa = scene_to_soa(sc)
+        idx = jnp.arange(32 * 18, dtype=jnp.int32)
+        o, d = camera_rays(soa, idx % 32, idx // 32)
+        wave = sh.ray_color(soa, o, d, jnp.float32(1e-3), b)
+        rec = sh.ray_color_recursive(soa, o, d, jnp.float32(1e-3), b)
+        np.testing.assert_allclose(
+            np.asarray(wave), np.asarray(rec), atol=1e-5, err_msg=name
+        )
+
+
 def test_chunked_equals_unchunked(scenes_dir):
     """Chunking is an execution detail — results must be identical."""
     sc = load_scene(scenes_dir / "triangle.json")
