@@ -53,7 +53,10 @@ def prepare(scene_or_soa, accel: str = "auto") -> PreparedScene:
     )
     n_tris = int(soa.tri_p1.shape[0])
     if accel == "auto":
-        accel = "pallas" if n_tris >= 256 else "none"
+        # The culling kernel only pays off compiled on real TPU hardware
+        # (interpret mode on CPU is strictly slower than brute force).
+        on_tpu = jax.default_backend() == "tpu"
+        accel = "pallas" if (on_tpu and n_tris >= 256) else "none"
     if accel == "none":
         return PreparedScene(soa=soa)
 
