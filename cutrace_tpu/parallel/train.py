@@ -77,19 +77,39 @@ def fit(
     bounces: int = 2,
     param_filter: Optional[Tuple[str, ...]] = None,
     verbose: bool = False,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 50,
 ):
     """Optimize scene parameters to match a target image. Returns
-    (params, losses)."""
+    (params, losses). With `checkpoint_dir`, optimizer state is saved every
+    `checkpoint_every` steps and training resumes from the newest
+    checkpoint automatically (diff/checkpoint.py)."""
     soa = sh.shard_scene(soa, mesh)
     target = jnp.asarray(target, jnp.float32).reshape(-1, 3)
     opt = optax.adam(lr)
     params = extract_params(soa)
     state = opt.init(params)
+    start = 0
+    if checkpoint_dir is not None:
+        from cutrace_tpu.diff import checkpoint as ckpt
+
+        restored = ckpt.restore_checkpoint(checkpoint_dir, params, state)
+        if restored is not None:
+            params, state, start = restored
+            start += 1
+            if verbose:
+                print(f"resumed from step {start - 1}")
     step = make_train_step(mesh, opt, bounces, param_filter=param_filter)
     losses = []
-    for i in range(steps):
+    for i in range(start, steps):
         params, state, loss = step(params, state, soa, target)
         losses.append(float(loss))
         if verbose and i % 10 == 0:
             print(f"step {i}: loss {losses[-1]:.6f}")
+        if checkpoint_dir is not None and (
+            (i + 1) % checkpoint_every == 0 or i == steps - 1
+        ):
+            from cutrace_tpu.diff import checkpoint as ckpt
+
+            ckpt.save_checkpoint(checkpoint_dir, params, state, i)
     return params, losses
