@@ -197,7 +197,7 @@ def combine_tri_candidates(stacked: TriCandidate) -> TriCandidate:
     return jax.tree.map(pick, stacked)
 
 
-def triangle_attrs_from_verts(p1, p2, p3, is_mesh, o, d, t):
+def triangle_attrs_from_verts(p1, p2, p3, is_mesh, o, d, t, need_uv=True):
     """Hit attrs from explicit triangle corners.
 
     normal = -(p2-p3) x (p1-p3), normalized, never flipped toward the ray
@@ -206,6 +206,8 @@ def triangle_attrs_from_verts(p1, p2, p3, is_mesh, o, d, t):
     overwrite uv with (hit.x, hit.y) (default_schema.hpp:138-139)."""
     point = o + t[:, None] * d
     normal = _normalize(-jnp.cross(p2 - p3, p1 - p3))
+    if not need_uv:
+        return point, normal, point[:, :2]
     p2p1 = p2 - p1
     p3p1 = p3 - p1
     xp1 = point - p1
@@ -245,12 +247,14 @@ def cast_planes(soa, o, d, min_dist, o0=None):
     return jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0], idx
 
 
-def plane_hit_attrs(soa, o, d, t, idx):
+def plane_hit_attrs(soa, o, d, t, idx, need_uv=True):
     """Plane hit attrs; uv axes per default_schema.hpp:169-178 (NaN uv when
     the plane normal is parallel to the z-axis — reference behavior)."""
     n = soa.pl_normal[idx]
     point_on = soa.pl_point[idx]
     point = o + t[:, None] * d
+    if not need_uv:
+        return point, n, point[:, :2]
     ax1 = jnp.stack([n[:, 1], -n[:, 0], jnp.zeros_like(n[:, 0])], axis=-1)
     # Normal parallel to z => |ax1| = 0 => NaN uv in the reference; inject
     # the NaN from a constant branch so no NaN enters the backward pass.
@@ -307,12 +311,14 @@ def cast_spheres(soa, o, d, min_dist, o0=None):
     return jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0], idx
 
 
-def sphere_hit_attrs(soa, o, d, t, idx):
+def sphere_hit_attrs(soa, o, d, t, idx, need_uv=True):
     """Sphere hit attrs; spherical uv (default_schema.hpp:246-249)."""
     dn = _normalize(d)
     c = soa.sp_center[idx]
     point = o + t[:, None] * dn
     normal = _normalize(point - c)
+    if not need_uv:
+        return point, normal, point[:, :2]
     u = 0.5 + jnp.arctan2(normal[:, 2], normal[:, 0]) / (2.0 * jnp.pi)
     # arcsin'(+-1) is infinite; at the poles take the exact constant value
     # instead so the backward pass stays finite.
@@ -326,7 +332,9 @@ def sphere_hit_attrs(soa, o, d, t, idx):
 # --- combined nearest-hit query --------------------------------------------
 
 
-def ray_cast(soa, o, d, min_dist, tri_candidates=None) -> HitRecord:
+def ray_cast(
+    soa, o, d, min_dist, tri_candidates=None, need_attrs=True, need_uv=True
+) -> HitRecord:
     """Nearest hit over all primitive kinds (ray_cast.hpp:29-55).
 
     o, d: (R,3) f32; min_dist: scalar or (R,) f32 (strict lower bound on t,
@@ -336,7 +344,13 @@ def ray_cast(soa, o, d, min_dist, tri_candidates=None) -> HitRecord:
 
     `tri_candidates(soa, o, d, min_dist, o0) -> TriCandidate` overrides the
     triangle query — the hook for BVH traversal and for primitive-sharded
-    casting (parallel/sharding.py). Default: brute-force local scan."""
+    casting (parallel/sharding.py). Default: brute-force local scan.
+
+    `need_attrs=False` skips point/normal/uv entirely (zeros returned) —
+    shadow marches only consume (hit, t, mat), and attribute math for all
+    three kinds plus the selection merge is a large share of a cast.
+    `need_uv=False` skips just the uv math (only the top-level primary
+    cast feeds the uv output)."""
     min_dist = jnp.broadcast_to(jnp.asarray(min_dist, jnp.float32), o.shape[:1])
     o0 = jax.lax.stop_gradient(soa.scene_center)
 
@@ -351,23 +365,37 @@ def ray_cast(soa, o, d, min_dist, tri_candidates=None) -> HitRecord:
     kind = _first_min(ts, objs)  # (R,) 0=tri 1=plane 2=sphere
     t = jnp.take_along_axis(ts, kind[:, None], axis=1)[:, 0]
     hit = jnp.isfinite(t)
-    t_safe = jnp.where(hit, t, 1.0)  # keep attr math NaN-free on misses
-
-    p_tri, n_tri, uv_tri = triangle_attrs_from_verts(
-        tri.p1, tri.p2, tri.p3, tri.is_mesh, o, d, t_safe
-    )
-    p_pl, n_pl, uv_pl = plane_hit_attrs(soa, o, d, t_safe, i_pl)
-    p_sp, n_sp, uv_sp = sphere_hit_attrs(soa, o, d, t_safe, i_sp)
 
     def pick(a, b, c):
         k = kind.reshape(kind.shape + (1,) * (a.ndim - 1))
         return jnp.where(k == 0, a, jnp.where(k == 1, b, c))
 
+    mat = pick(tri.mat, soa.pl_mat[i_pl], soa.sp_mat[i_sp])
+    obj = jnp.take_along_axis(objs, kind[:, None], axis=1)[:, 0]
+
+    if not need_attrs:
+        zero3 = jnp.zeros(o.shape, o.dtype)
+        return HitRecord(
+            hit=hit,
+            t=t,
+            obj=jnp.where(hit, obj, soa.n_objects),
+            mat=jnp.where(hit, mat, 0),
+            point=zero3,
+            normal=zero3,
+            uv=jnp.zeros(o.shape[:1] + (2,), o.dtype),
+        )
+
+    t_safe = jnp.where(hit, t, 1.0)  # keep attr math NaN-free on misses
+
+    p_tri, n_tri, uv_tri = triangle_attrs_from_verts(
+        tri.p1, tri.p2, tri.p3, tri.is_mesh, o, d, t_safe, need_uv
+    )
+    p_pl, n_pl, uv_pl = plane_hit_attrs(soa, o, d, t_safe, i_pl, need_uv)
+    p_sp, n_sp, uv_sp = sphere_hit_attrs(soa, o, d, t_safe, i_sp, need_uv)
+
     point = pick(p_tri, p_pl, p_sp)
     normal = pick(n_tri, n_pl, n_sp)
     uv = pick(uv_tri, uv_pl, uv_sp)
-    mat = pick(tri.mat, soa.pl_mat[i_pl], soa.sp_mat[i_sp])
-    obj = jnp.take_along_axis(objs, kind[:, None], axis=1)[:, 0]
 
     zero3 = jnp.zeros_like(point)
     return HitRecord(

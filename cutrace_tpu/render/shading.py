@@ -56,7 +56,9 @@ def shadow_intensity(soa, o, d, max_dist, tri_candidates=None):
     last_hit = jnp.zeros(R, jnp.float32)
     active = jnp.ones(R, bool)
     for _ in range(soa.shadow_steps):
-        hit = I.ray_cast(soa, o, d, last_hit + 1e-3, tri_candidates)
+        # shadow marching consumes only (hit, t, mat): skip attribute math
+        hit = I.ray_cast(soa, o, d, last_hit + 1e-3, tri_candidates,
+                         need_attrs=False)
         ok = active & hit.hit & (hit.t < max_dist)
         transp = soa.mat_transparency[hit.mat]
         intensity = intensity + jnp.where(ok, 1.0 - transp, 0.0)
@@ -158,7 +160,9 @@ def ray_color(soa, o, d, min_t, bounces: int, tri_candidates=None):
     for level in range(bounces + 1):
         n_nodes = os_.shape[0] // R
         mt = jnp.tile(min_t, n_nodes)
-        hit = I.ray_cast(soa, os_, ds_, mt, tri_candidates)
+        # uv never feeds shading; only the primary depth/normal cast
+        # (render_rays) needs it
+        hit = I.ray_cast(soa, os_, ds_, mt, tri_candidates, need_uv=False)
         ph = jnp.where(
             hit.hit[:, None], phong(soa, ds_, hit, tri_candidates), 0.0
         )
@@ -202,7 +206,7 @@ def ray_color_recursive(soa, o, d, min_t, bounces: int, tri_candidates=None):
     — one ray_cast per tree NODE. Kept as the semantic cross-check for the
     wavefront evaluation above (tests assert they agree); the wavefront
     form is the production path (2^bounces times smaller program)."""
-    hit = I.ray_cast(soa, o, d, min_t, tri_candidates)
+    hit = I.ray_cast(soa, o, d, min_t, tri_candidates, need_uv=False)
     rgb = jnp.where(hit.hit[:, None], phong(soa, d, hit, tri_candidates), 0.0)
 
     if bounces > 0 and (soa.any_reflective or soa.any_transparent):
