@@ -94,12 +94,14 @@ def build_clusters(soa, cluster_size: int = CLUSTER_SIZE) -> TriClusters:
     m = len(leaves)
     c = cluster_size
     shape3 = (m, c, 3)
+    # padding slots: the same finite far-away sentinel triangle as
+    # scene/soa.py (valid=False keeps it from ever hitting)
     cp1 = np.full(shape3, _FAR, np.float32)
     cp2 = np.zeros(shape3, np.float32)
     cp3 = np.zeros(shape3, np.float32)
+    cp1[..., 1:] = 0.0
     cp2[..., :] = (_FAR, 64.0, 0.0)
     cp3[..., :] = (_FAR, 0.0, 64.0)
-    cp2[..., 0] = _FAR
     cmat = np.zeros((m, c), np.int32)
     cobj = np.full((m, c), 2**30, np.int32)
     corder = np.full((m, c), 2**30, np.int32)

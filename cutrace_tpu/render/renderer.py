@@ -155,10 +155,15 @@ def render(
     if chunk is None:
         # Bound peak ray-batch size: the deepest wavefront level carries
         # 2^bounces nodes per pixel when a scene has both reflective and
-        # transparent materials (shading.ray_color).
+        # transparent materials, and shadow marches batch all lights into
+        # one cast (shading.ray_color / phong). The brute-force cast
+        # materializes (rays x triangles) intermediates, so without an
+        # acceleration provider the light fan-out must also be bounded.
         max_nodes = (
             2**bounces if (soa.any_reflective and soa.any_transparent) else 1
         )
+        if provider is None:
+            max_nodes *= max(1, soa.n_lights)
         chunk = max(1024, 65536 // max_nodes)
         chunk = min(chunk, _ceil_to(n, 8))
     chunk = max(8, min(chunk, _ceil_to(n, 8)))

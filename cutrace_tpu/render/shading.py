@@ -100,14 +100,34 @@ def phong(soa, d, hit: I.HitRecord, tri_candidates=None):
     minus_dn = -_normalize(d)
 
     final = soa.ambient * diffuse
+    if soa.n_lights == 0:
+        return final
+
+    # All lights' shadow rays march in ONE batched cast per step (the
+    # reference loops lights per thread, shading.hpp:78-96; semantics are
+    # per-ray independent, so stacking L copies of the hit points into a
+    # (L*R,) ray batch changes nothing except cast count: one scene query
+    # per march step instead of one per light per step).
+    R = hit.point.shape[0]
+    sdirs, light_dists = [], []
     for i in range(soa.n_lights):
         direction, distance = light_direction_to(soa, i, hit.point)
-        sdir = _normalize(direction)
+        sdirs.append(_normalize(direction))
         # shading.hpp:80 — max_dist = distance * |direction| (sun: inf)
-        light_dist = distance * _norm(direction)
-        color = soa.light_color[i][None, :]
+        light_dists.append(distance * _norm(direction))
+    origins = jnp.tile(hit.point, (soa.n_lights, 1))
+    shadow_all = shadow_intensity(
+        soa,
+        origins,
+        jnp.concatenate(sdirs, axis=0),
+        jnp.concatenate(light_dists, axis=0),
+        tri_candidates,
+    ).reshape(soa.n_lights, R)
 
-        shadow = shadow_intensity(soa, hit.point, sdir, light_dist, tri_candidates)
+    for i in range(soa.n_lights):
+        sdir = sdirs[i]
+        color = soa.light_color[i][None, :]
+        shadow = shadow_all[i]
         lit = shadow < 1.0
 
         fd = jnp.maximum(0.0, _dot(nn, sdir))
