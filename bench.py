@@ -44,24 +44,22 @@ def main():
     from cutrace_tpu.scene.loader import load_scene
     from cutrace_tpu.scene.soa import scene_to_soa
 
+    from cutrace_tpu.utils.profiling import casts_per_pixel
+
     sc = load_scene("scenes/bunny.json")
     sc.camera.width, sc.camera.height = WIDTH, HEIGHT
-    soa = prepare(scene_to_soa(sc), accel="auto")
+    prepared = prepare(scene_to_soa(sc), accel="auto")
 
     # casts per pixel from the compiled tree structure (see module docstring)
-    nodes = BOUNCES + 1 if soa.any_reflective != soa.any_transparent else (
-        2 ** (BOUNCES + 1) - 1 if soa.any_reflective else 1
-    )
-    casts_per_px = nodes * (1 + soa.n_lights * soa.shadow_steps)
-    total_casts = WIDTH * HEIGHT * casts_per_px
+    total_casts = WIDTH * HEIGHT * casts_per_pixel(prepared.soa, BOUNCES)
 
-    out = render(soa, bounces=BOUNCES)
+    out = render(prepared, bounces=BOUNCES)
     jax.block_until_ready(out)  # compile + warm up
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = render(soa, bounces=BOUNCES)
+        out = render(prepared, bounces=BOUNCES)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     dt = min(times)
