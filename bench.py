@@ -30,9 +30,6 @@ try:
 except Exception:
     pass
 
-import jax.numpy as jnp
-import numpy as np
-
 # First recorded TPU v5e measurement (round 1). Update only upward.
 BASELINE_MCASTS_PER_S = 7.0
 

@@ -10,7 +10,6 @@ the library on demand with the ambient g++.
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import subprocess
 import threading

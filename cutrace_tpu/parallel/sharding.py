@@ -29,7 +29,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cutrace_tpu.ops import intersect as I
-from cutrace_tpu.render import shading as sh
 from cutrace_tpu.render.renderer import camera_rays, render_rays
 from cutrace_tpu.scene.soa import SceneArrays
 

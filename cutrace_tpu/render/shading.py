@@ -21,7 +21,6 @@ Accumulation-order parity (the "hard part" per SURVEY.md §7): reflection
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from cutrace_tpu.ops import intersect as I

@@ -24,7 +24,8 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from cutrace_tpu.scene import types as T
-from cutrace_tpu.scene.stl import load_stl, resolve_mesh_path
+from cutrace_tpu.scene.mesh_io import load_mesh
+from cutrace_tpu.scene.stl import resolve_mesh_path
 
 
 class SchemaError(Exception):
@@ -122,7 +123,7 @@ def _mk_triangle(ctx, p1, p2, p3, material):
 
 def _mk_mesh(ctx, file, material):
     path = resolve_mesh_path(file, ctx.get("scene_path"))
-    return T.Mesh(load_stl(path), material, file=file)
+    return T.Mesh(load_mesh(path), material, file=file)
 
 
 def _mk_plane(ctx, point, normal, material):

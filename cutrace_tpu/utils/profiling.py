@@ -18,7 +18,6 @@ import time
 from typing import Optional, Tuple
 
 import jax
-import numpy as np
 
 
 @dataclasses.dataclass

@@ -167,3 +167,36 @@ def test_validate_flags_bad_material_refs():
     ).reindex()
     errs = s.validate()
     assert len(errs) == 1 and "material 5" in errs[0]
+
+
+def test_obj_mesh_import(tmp_path):
+    """OBJ meshes load with fan triangulation and index forms
+    (Assimp-parity beyond STL — scene/mesh_io.py)."""
+    import json
+
+    import numpy as np
+
+    from cutrace_tpu.scene.loader import load_scene
+    from cutrace_tpu.scene.mesh_io import load_obj
+
+    obj = tmp_path / "quad.obj"
+    obj.write_text(
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "f 1/1/1 2/2/2 3/3/3 4/4/4\n"  # quad -> 2 triangles (fan)
+        "f -4 -3 -2\n"  # negative indices
+    )
+    tris = load_obj(obj)
+    assert tris.shape == (3, 3, 3)
+    assert np.allclose(tris[0], [[0, 0, 0], [1, 0, 0], [1, 1, 0]])
+    assert np.allclose(tris[1], [[0, 0, 0], [1, 1, 0], [0, 1, 0]])
+
+    scene_file = tmp_path / "s.json"
+    scene_file.write_text(json.dumps({
+        "camera": {"eye": [0, 0, -3], "look": [0, 0, 0], "width": 8,
+                   "height": 8},
+        "materials": [{"type": "solid", "color": [1, 0, 0]}],
+        "lights": [{"type": "sun", "direction": [0, 0, 1]}],
+        "objects": [{"type": "mesh", "file": "quad.obj", "material": 0}],
+    }))
+    sc = load_scene(scene_file)
+    assert sc.objects[0].num_triangles == 3
