@@ -41,7 +41,15 @@ def discontinuity_mask(ref_img: np.ndarray, thr: float = 1e-3, dilate: int = 1):
     return g
 
 
-def assert_image_close(dev, ref, name, atol=1e-3, edge_budget=0.05):
+def assert_image_close(
+    dev, ref, name, atol=1e-3, edge_budget=0.05, off_edge_budget=0.0
+):
+    """`off_edge_budget` > 0 admits a small fraction of mismatches away
+    from image discontinuities — needed only for randomized scenes, where
+    fp knife-edges can live purely in the *bounce* dimension (e.g. a
+    transparency child grazing a near-parallel plane at huge t) and leave
+    no local signature in the reference image. Authored-scene tests keep
+    the strict zero budget."""
     dev, ref = np.asarray(dev), np.asarray(ref)
     if dev.ndim == 2:
         ok = np.isclose(dev, ref, atol=atol) | (np.isinf(dev) & np.isinf(ref))
@@ -52,7 +60,7 @@ def assert_image_close(dev, ref, name, atol=1e-3, edge_budget=0.05):
         ).all(axis=-1)
     edges = discontinuity_mask(ref)
     off_edge = bad & ~edges
-    assert off_edge.sum() == 0, (
+    assert off_edge.sum() <= off_edge_budget * bad.size, (
         f"{name}: {off_edge.sum()} mismatches off discontinuities at "
         f"{np.argwhere(off_edge)[:5].tolist()}"
     )
