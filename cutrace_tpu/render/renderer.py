@@ -103,6 +103,41 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+@functools.lru_cache(maxsize=8)
+def _block_order(w: int, h: int, n_pad: int, bw: int = 32, bh: int = 16):
+    """Pixel visit order that walks 32x16 image blocks instead of scanlines.
+
+    A 512-ray cast tile then covers a compact pixel block rather than a
+    512x1 strip, so primary rays (and the shadow rays spawned from their
+    hit points) stay spatially coherent for the Pallas cluster culling.
+    Per-ray results are order-independent (no batch-dependent reductions
+    anywhere), so this changes performance only. Returns (order, inverse)
+    int32 arrays of length n_pad; indices >= w*h are padding."""
+    import numpy as np
+
+    xs = np.arange(_ceil_to(w, bw))
+    ys = np.arange(_ceil_to(h, bh))
+    gx, gy = np.meshgrid(xs, ys)
+    # sort pixels by (block row, block col, y-in-block, x-in-block)
+    key = (
+        ((gy // bh) * (10**9))
+        + ((gx // bw) * (10**6))
+        + ((gy % bh) * (10**3))
+        + (gx % bw)
+    )
+    flat_idx = gy * w + gx
+    inside = (gx < w) & (gy < h)
+    order = flat_idx[inside].ravel()[np.argsort(key[inside].ravel(),
+                                                kind="stable")]
+    n = w * h
+    order = np.concatenate([order, np.arange(n, n_pad)]).astype(np.int32)
+    inverse = np.zeros(n_pad, np.int32)
+    inverse[order] = np.arange(n_pad, dtype=np.int32)
+    # numpy (not jnp): the cache is shared across jit traces, and a device
+    # array created inside one trace would leak its tracer into the next
+    return order, inverse
+
+
 @functools.partial(
     jax.jit, static_argnames=("bounces", "chunk", "tri_candidates")
 )
@@ -111,7 +146,8 @@ def _render_padded(
 ):
     n = soa.width * soa.height
     n_pad = _ceil_to(n, chunk)
-    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    order, inverse = _block_order(soa.width, soa.height, n_pad)
+    idx = order
     px = (idx % soa.width).reshape(-1, chunk)
     py = (idx // soa.width).reshape(-1, chunk)
 
@@ -120,10 +156,14 @@ def _render_padded(
         return render_rays(soa, o, d, bounces, fudge, tri_candidates)
 
     color, depth, normal = jax.lax.map(body, (px, py))
+    # un-permute from block order back to scanline order
+    color = color.reshape(n_pad, 3)[inverse]
+    depth = depth.reshape(n_pad)[inverse]
+    normal = normal.reshape(n_pad, 3)[inverse]
     return (
-        color.reshape(n_pad, 3)[:n].reshape(soa.height, soa.width, 3),
-        depth.reshape(n_pad)[:n].reshape(soa.height, soa.width),
-        normal.reshape(n_pad, 3)[:n].reshape(soa.height, soa.width, 3),
+        color[:n].reshape(soa.height, soa.width, 3),
+        depth[:n].reshape(soa.height, soa.width),
+        normal[:n].reshape(soa.height, soa.width, 3),
     )
 
 

