@@ -122,13 +122,19 @@ def sharded_tri_candidates(soa_local, o, d, min_dist, o0):
     return I.combine_tri_candidates(stacked)
 
 
-def render_pixels_sharded(soa, mesh: Mesh, idx, bounces: int, fudge):
+def render_pixels_sharded(soa, mesh: Mesh, idx, bounces: int, fudge,
+                          tri_candidates=None):
     """shard_map render of flat pixel indices `idx` ((N,) i32, N divisible
     by n_tiles). Returns (color (N,3), depth (N,), normal (N,3)) sharded
-    over TILE_AXIS."""
+    over TILE_AXIS.
+
+    `tri_candidates` (an acceleration provider from render.renderer.prepare,
+    e.g. the Pallas culling kernel over replicated clusters) applies only
+    when the mesh does not shard primitives — with PRIM_AXIS > 1 the
+    all_gather-combined sharded cast takes over."""
     n_prims = mesh.shape[PRIM_AXIS]
     shard_prims = n_prims > 1
-    tri_c = sharded_tri_candidates if shard_prims else None
+    tri_c = sharded_tri_candidates if shard_prims else tri_candidates
 
     @functools.partial(
         jax.shard_map,
@@ -145,14 +151,18 @@ def render_pixels_sharded(soa, mesh: Mesh, idx, bounces: int, fudge):
     return body(soa, idx)
 
 
-@functools.partial(jax.jit, static_argnames=("bounces", "mesh"))
-def _render_sharded_jit(soa, mesh, fudge, bounces):
+@functools.partial(
+    jax.jit, static_argnames=("bounces", "mesh", "tri_candidates")
+)
+def _render_sharded_jit(soa, mesh, fudge, bounces, tri_candidates=None):
     n = soa.width * soa.height
     n_tiles = mesh.shape[TILE_AXIS]
     n_pad = _ceil_to(n, n_tiles)
     idx = jnp.arange(n_pad, dtype=jnp.int32)
     idx = jax.device_put(idx, NamedSharding(mesh, P(TILE_AXIS)))
-    color, depth, normal = render_pixels_sharded(soa, mesh, idx, bounces, fudge)
+    color, depth, normal = render_pixels_sharded(
+        soa, mesh, idx, bounces, fudge, tri_candidates
+    )
     return (
         color[:n].reshape(soa.height, soa.width, 3),
         depth[:n].reshape(soa.height, soa.width),
@@ -161,10 +171,22 @@ def _render_sharded_jit(soa, mesh, fudge, bounces):
 
 
 def render_sharded(
-    soa: SceneArrays, mesh: Mesh, bounces: int = 5, fudge: float = 1e-3
+    scene, mesh: Mesh, bounces: int = 5, fudge: float = 1e-3
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full-image render over a device mesh. The multi-chip analog of
     render.renderer.render: image tiles over TILE_AXIS, triangles over
-    PRIM_AXIS (if mesh has >1), scene otherwise replicated."""
-    soa = shard_scene(soa, mesh)
-    return _render_sharded_jit(soa, mesh, jnp.float32(fudge), bounces)
+    PRIM_AXIS (if mesh has >1), scene otherwise replicated.
+
+    Accepts a SceneArrays or a render.renderer.PreparedScene; a prepared
+    acceleration provider is used on tile-only meshes (clusters replicated
+    per device, like the scene)."""
+    from cutrace_tpu.render.renderer import PreparedScene
+
+    provider = None
+    if isinstance(scene, PreparedScene):
+        provider = scene.tri_candidates
+        scene = scene.soa
+    soa = shard_scene(scene, mesh)
+    if mesh.shape[PRIM_AXIS] > 1:
+        provider = None  # sharded cast takes over
+    return _render_sharded_jit(soa, mesh, jnp.float32(fudge), bounces, provider)

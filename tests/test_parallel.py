@@ -80,3 +80,22 @@ def test_dryrun_entrypoints():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert all(bool(np.isfinite(np.asarray(x)).any()) for x in out)
+
+
+def test_sharded_render_with_accel(sp_soa):
+    """PreparedScene acceleration flows through the tile-sharded path
+    (interpret-mode kernel on the CPU mesh); primitive-sharded meshes fall
+    back to the all_gather cast."""
+    from cutrace_tpu.render.renderer import prepare
+
+    ref = render(sp_soa, bounces=2)
+    prepared = prepare(sp_soa, accel="pallas")
+    out = render_sharded(prepared, make_mesh(8, 1), bounces=2)
+    for a, b, name in zip(ref, out, ("color", "depth", "normal")):
+        a, b = np.asarray(a), np.asarray(b)
+        ok = np.isclose(a, b, atol=1e-4) | (np.isinf(a) & np.isinf(b))
+        assert ok.mean() > 0.999, name
+    # prim-sharded mesh ignores the provider and stays bit-identical
+    out2 = render_sharded(prepared, make_mesh(4, 2), bounces=2)
+    for a, b in zip(ref, out2):
+        assert _identical(a, b)
