@@ -137,7 +137,8 @@ def main(argv=None) -> int:
         f"setup/teardown was {total_ms:.0f} ms."
     )
 
-    out = args.out.rstrip("/")
+    out = args.out.rstrip("/") or "."
+    os.makedirs(out, exist_ok=True)
     images.write_depth_map(f"{out}/depth_map.jpg", depth, max_d)
     images.write_normal_map(f"{out}/normal_map.jpg", normal)
     images.write_colorized(f"{out}/frame.jpg", color)
