@@ -69,6 +69,10 @@ def main(argv=None) -> int:
     parser.add_argument("--height", type=int, default=None)
     parser.add_argument("--strict", action="store_true",
                         help="reject legacy schema aliases")
+    parser.add_argument("--accel", default="auto",
+                        choices=("auto", "none", "clusters", "pallas"),
+                        help="triangle acceleration structure (default: "
+                        "auto — Pallas culling kernel on TPU)")
     parser.add_argument("--platform", default=None,
                         help="force a JAX platform (e.g. cpu, tpu); the "
                         "preinstalled TPU plugin ignores JAX_PLATFORMS, so "
@@ -115,13 +119,20 @@ def main(argv=None) -> int:
         pass  # older jax without the knob
 
     from cutrace_tpu.io import images
-    from cutrace_tpu.render.renderer import render
+    from cutrace_tpu.render.renderer import prepare, render
     from cutrace_tpu.scene.soa import scene_to_soa
 
     total_start = time.perf_counter()
-    soa = scene_to_soa(scene)
+    prepared = prepare(scene_to_soa(scene), accel=args.accel)
+    # Warmup render: XLA compilation happens here (the reference pays its
+    # compile at nvcc build time, so its render_ms is kernel-only,
+    # kernel.hpp:105-108 — time only the post-compile run for parity).
+    # The persistent compile cache makes this near-free on later runs.
+    compile_start = time.perf_counter()
+    jax.block_until_ready(render(prepared, bounces=args.bounces, fudge=1e-3))
+    compile_ms = (time.perf_counter() - compile_start) * 1000.0
     render_start = time.perf_counter()
-    color, depth, normal = render(soa, bounces=args.bounces, fudge=1e-3)
+    color, depth, normal = render(prepared, bounces=args.bounces, fudge=1e-3)
     jax.block_until_ready((color, depth, normal))
     render_ms = (time.perf_counter() - render_start) * 1000.0
 
@@ -129,7 +140,10 @@ def main(argv=None) -> int:
     depth = np.asarray(depth)
     normal = np.asarray(normal)
     max_d = images.max_finite_depth(depth)
-    total_ms = (time.perf_counter() - total_start) * 1000.0
+    total_ms = (
+        (time.perf_counter() - total_start) * 1000.0 - compile_ms
+    )
+    print(f"Compile/warmup time was {compile_ms:.0f} ms (excluded below).")
 
     # main.cu:32 wording (kernel-only vs with setup/teardown)
     print(

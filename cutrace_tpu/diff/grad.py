@@ -58,13 +58,19 @@ def with_params(soa: SceneArrays, params: Dict[str, jax.Array]) -> SceneArrays:
     return dataclasses.replace(soa, **params)
 
 
-def render_image_flat(soa: SceneArrays, bounces: int, fudge):
+def render_image_flat(soa: SceneArrays, bounces: int, fudge, accel=None):
     """Render all pixels in one batch (no chunking) — used by loss/grad
-    paths where XLA should see a single differentiable program."""
+    paths where XLA should see a single differentiable program. `accel`
+    (an ops.bvh.Accel) accelerates the triangle query; it is differentiable
+    and stale-proof by construction (geometry gathered live, ops/bvh.py)."""
+    from cutrace_tpu.ops.bvh import candidates_fn
+
     n = soa.width * soa.height
     idx = jnp.arange(n, dtype=jnp.int32)
     o, d = camera_rays(soa, idx % soa.width, idx // soa.width)
-    color, depth, normal = render_rays(soa, o, d, bounces, fudge)
+    color, depth, normal = render_rays(
+        soa, o, d, bounces, fudge, candidates_fn(accel)
+    )
     return color, depth, normal
 
 
@@ -74,14 +80,20 @@ def render_loss(
     target: jax.Array,
     bounces: int = 2,
     fudge: float = 1e-3,
+    accel=None,
 ) -> jax.Array:
     """Mean squared error between the rendered color image and `target`
     ((H*W, 3) or (H, W, 3))."""
-    color, _, _ = render_image_flat(with_params(soa, params), bounces, fudge)
+    color, _, _ = render_image_flat(
+        with_params(soa, params), bounces, fudge, accel
+    )
     return jnp.mean((color - target.reshape(-1, 3)) ** 2)
 
 
-def grad_render_loss(soa, target, bounces: int = 2, fudge: float = 1e-3):
+def grad_render_loss(soa, target, bounces: int = 2, fudge: float = 1e-3,
+                     accel=None):
     """(loss, grads-dict) w.r.t. all differentiable scene parameters."""
     params = extract_params(soa)
-    return jax.value_and_grad(render_loss)(params, soa, target, bounces, fudge)
+    return jax.value_and_grad(render_loss)(
+        params, soa, target, bounces, fudge, accel
+    )

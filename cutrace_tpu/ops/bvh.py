@@ -1,4 +1,4 @@
-"""Triangle clustering (2-level BVH), host build + device providers.
+"""Triangle clustering (2-level BVH): host-side partition + traced geometry.
 
 The reference has no BVH — only one AABB per mesh followed by a linear scan
 (/root/reference/inc/default_schema.hpp:99-144). The north star requires a
@@ -6,18 +6,32 @@ real acceleration structure (SURVEY.md header). A classic per-ray stack
 traversal is the wrong shape for a TPU (divergent control flow, scalar
 gathers); instead the triangle soup is built into fixed-size *clusters*:
 
-  build (host, numpy): recursively median-split triangle centroids along
+  build (host, numpy/C++): recursively median-split triangle centroids along
   the widest axis until <= CLUSTER_SIZE triangles remain; each leaf becomes
-  one cluster with an AABB. This is exactly a BVH whose internal levels
-  are discarded and whose leaves are padded to a uniform size — uniform
-  because the TPU wants dense (rays x CLUSTER_SIZE) intersection tiles.
+  one cluster. This is exactly a BVH whose internal levels are discarded and
+  whose leaves are padded to a uniform size — uniform because the TPU wants
+  dense (rays x CLUSTER_SIZE) intersection tiles.
 
   traverse (device): rays test all M cluster AABBs with one vectorized slab
   test (cheap: M ~ T/64), then intersect triangles of surviving clusters.
-  The pure-JAX provider below evaluates every cluster masked (no skipping —
+  The pure-JAX "clusters" path evaluates every cluster masked (no skipping —
   it is the semantics oracle); the Pallas kernel (pallas_cast.py) skips a
   cluster's triangle tile when no ray in the program's tile hits its AABB,
   which is where the BVH speedup actually lands.
+
+Differentiability & freshness (the round-1 defect this design removes): the
+acceleration structure `Accel` stores only the PARTITION — which original
+triangle occupies which cluster slot. Cluster geometry (vertices, AABBs,
+per-triangle intersection constants) is gathered from the live
+`soa.tri_p1/p2/p3` arrays *inside* the traced program
+(`clusters_from_accel`), so
+
+  * `jax.grad` w.r.t. vertex positions flows through the accelerated path
+    exactly like the brute-force path (the gather is differentiable), and
+  * a `PreparedScene` can never render stale geometry after a vertex
+    update — the partition may become suboptimal (AABBs are recomputed from
+    the moved vertices, so correctness holds; only culling quality decays),
+    but the rendered image always reflects the current parameters.
 
 Cluster order preserves the global scene order of the first triangle of
 each cluster, and `order` carries every triangle's original flat index, so
@@ -27,7 +41,7 @@ nearest-hit ties keep the reference's scan-order winner semantics.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +52,103 @@ from cutrace_tpu.ops import intersect as I
 CLUSTER_SIZE = 64
 
 _FAR = 1.0e8
+_BIG = 2**30
+
+# Sentinel triangle parked far away for padding slots (matches scene/soa.py);
+# valid=False keeps it from ever hitting, finite values keep grads NaN-free.
+# numpy, NOT jnp: this module is imported lazily, sometimes inside a jit
+# trace, where jnp.asarray would capture a tracer in module state.
+_SENT_P1 = np.asarray([_FAR, 0.0, 0.0], np.float32)
+_SENT_P2 = np.asarray([_FAR, 64.0, 0.0], np.float32)
+_SENT_P3 = np.asarray([_FAR, 0.0, 64.0], np.float32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Accel:
+    """Geometry-free cluster partition (see module docstring).
+
+    `order[m, c]` is the original flat triangle index occupying slot c of
+    cluster m (2**30 on padding slots); `valid` masks live slots. The
+    `kind` selects the device traversal ("clusters" = dense masked oracle,
+    "pallas" = TPU culling kernel); `interpret` runs the kernel in
+    interpreter mode (CPU tests). Both are static: they shape the compiled
+    program, while `order`/`valid` trace through jit so re-partitioning
+    never recompiles."""
+
+    order: jax.Array  # (M, C) i32 original flat triangle index
+    valid: jax.Array  # (M, C) bool
+    kind: str = dataclasses.field(metadata=dict(static=True))
+    interpret: bool = dataclasses.field(metadata=dict(static=True))
+
+
+def build_partition(centroids: np.ndarray, cluster_size: int):
+    """Median-split leaf lists over triangle centroids (host-side).
+
+    Prefers the native C++ builder (native/cluster.cpp, identical stable
+    median-split order); numpy recursion is the fallback. Returns a list of
+    int arrays (original indices per cluster)."""
+    from cutrace_tpu import native
+
+    nat = (
+        native.build_clusters(centroids, cluster_size)
+        if native.available()
+        else None
+    )
+    if nat is not None:
+        perm, starts, counts = nat
+        return [perm[s : s + k] for s, k in zip(starts, counts)]
+
+    leaves = []
+
+    def split(idx):
+        if len(idx) <= cluster_size:
+            leaves.append(idx)
+            return
+        c = centroids[idx]
+        axis = int(np.argmax(c.max(0) - c.min(0)))
+        order = np.argsort(c[:, axis], kind="stable")
+        half = len(idx) // 2
+        split(idx[order[:half]])
+        split(idx[order[half:]])
+
+    split(np.arange(len(centroids)))
+    return leaves
+
+
+def build_accel(
+    soa,
+    cluster_size: int = CLUSTER_SIZE,
+    kind: str = "pallas",
+    interpret: Optional[bool] = None,
+    min_clusters: int = 0,
+) -> Accel:
+    """Partition the scene's triangles into an Accel (host-side build).
+
+    `min_clusters` pads the cluster axis (for stacking per-shard partitions
+    of differing sizes to one static shape)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    p1 = np.asarray(soa.tri_p1)
+    p2 = np.asarray(soa.tri_p2)
+    p3 = np.asarray(soa.tri_p3)
+    valid = np.asarray(soa.tri_valid)
+    centroids = (p1 + p2 + p3) / 3.0
+    leaves = build_partition(centroids, cluster_size)
+
+    m = max(len(leaves), min_clusters, 1)
+    order = np.full((m, cluster_size), _BIG, np.int32)
+    vmask = np.zeros((m, cluster_size), bool)
+    for mi, idx in enumerate(leaves):
+        k = len(idx)
+        order[mi, :k] = idx
+        vmask[mi, :k] = valid[idx]
+    return Accel(
+        order=jnp.asarray(order),
+        valid=jnp.asarray(vmask),
+        kind=kind,
+        interpret=bool(interpret),
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -57,91 +168,47 @@ class TriClusters:
     bmax: jax.Array  # (M, 3) f32
 
 
-def build_clusters(soa, cluster_size: int = CLUSTER_SIZE) -> TriClusters:
-    """Median-split the scene's triangles into clusters (host-side)."""
-    p1 = np.asarray(soa.tri_p1)
-    p2 = np.asarray(soa.tri_p2)
-    p3 = np.asarray(soa.tri_p3)
-    valid = np.asarray(soa.tri_valid)
-    n = p1.shape[0]
-    centroids = (p1 + p2 + p3) / 3.0
+def clusters_from_accel(soa, accel: Accel) -> TriClusters:
+    """Gather live cluster geometry from the scene arrays (traced).
 
-    # Prefer the native C++ builder (native/cluster.cpp, identical stable
-    # median-split order) — the numpy recursion below is the fallback.
-    from cutrace_tpu import native
+    Runs inside jit: vertices come straight from soa.tri_p1/p2/p3 (so
+    gradients flow and updates are never stale), AABBs are recomputed from
+    the gathered vertices. Padding slots get the far-away sentinel
+    triangle; empty clusters get a far-away point AABB (never hit)."""
+    t = soa.tri_p1.shape[0]
+    idx = jnp.clip(accel.order, 0, t - 1)
+    valid = accel.valid & soa.tri_valid[idx]
+    v3 = valid[..., None]
+    p1 = jnp.where(v3, soa.tri_p1[idx], _SENT_P1)
+    p2 = jnp.where(v3, soa.tri_p2[idx], _SENT_P2)
+    p3 = jnp.where(v3, soa.tri_p3[idx], _SENT_P3)
 
-    nat = native.build_clusters(centroids, cluster_size) \
-        if native.available() else None
-    if nat is not None:
-        perm, starts, counts = nat
-        leaves = [perm[s:s + k] for s, k in zip(starts, counts)]
-    else:
-        leaves = []
-
-        def split(idx):
-            if len(idx) <= cluster_size:
-                leaves.append(idx)
-                return
-            c = centroids[idx]
-            axis = int(np.argmax(c.max(0) - c.min(0)))
-            order = np.argsort(c[:, axis], kind="stable")
-            half = len(idx) // 2
-            split(idx[order[:half]])
-            split(idx[order[half:]])
-
-        split(np.arange(n))
-
-    m = len(leaves)
-    c = cluster_size
-    shape3 = (m, c, 3)
-    # padding slots: the same finite far-away sentinel triangle as
-    # scene/soa.py (valid=False keeps it from ever hitting)
-    cp1 = np.full(shape3, _FAR, np.float32)
-    cp2 = np.zeros(shape3, np.float32)
-    cp3 = np.zeros(shape3, np.float32)
-    cp1[..., 1:] = 0.0
-    cp2[..., :] = (_FAR, 64.0, 0.0)
-    cp3[..., :] = (_FAR, 0.0, 64.0)
-    cmat = np.zeros((m, c), np.int32)
-    cobj = np.full((m, c), 2**30, np.int32)
-    corder = np.full((m, c), 2**30, np.int32)
-    cmesh = np.zeros((m, c), bool)
-    cvalid = np.zeros((m, c), bool)
-    bmin = np.full((m, 3), np.inf, np.float32)
-    bmax = np.full((m, 3), -np.inf, np.float32)
-
-    tri_mat = np.asarray(soa.tri_mat)
-    tri_obj = np.asarray(soa.tri_obj)
-    tri_mesh = np.asarray(soa.tri_mesh)
-
-    for mi, idx in enumerate(leaves):
-        k = len(idx)
-        cp1[mi, :k] = p1[idx]
-        cp2[mi, :k] = p2[idx]
-        cp3[mi, :k] = p3[idx]
-        cmat[mi, :k] = tri_mat[idx]
-        cobj[mi, :k] = tri_obj[idx]
-        corder[mi, :k] = idx
-        cmesh[mi, :k] = tri_mesh[idx] >= 0
-        cvalid[mi, :k] = valid[idx]
-        live = idx[valid[idx]]
-        if len(live):
-            pts = np.concatenate([p1[live], p2[live], p3[live]])
-            bmin[mi] = pts.min(0)
-            bmax[mi] = pts.max(0)
+    pts_min = jnp.minimum(jnp.minimum(p1, p2), p3)  # (M, C, 3)
+    pts_max = jnp.maximum(jnp.maximum(p1, p2), p3)
+    bmin = jnp.min(jnp.where(v3, pts_min, jnp.inf), axis=1)  # (M, 3)
+    bmax = jnp.max(jnp.where(v3, pts_max, -jnp.inf), axis=1)
+    # Empty cluster: park the AABB at the sentinel point so the slab test
+    # (and the Pallas cull bitmask) never selects it.
+    bmin = jnp.where(jnp.isfinite(bmin), bmin, _FAR)
+    bmax = jnp.where(jnp.isfinite(bmax), bmax, _FAR)
 
     return TriClusters(
-        p1=jnp.asarray(cp1),
-        p2=jnp.asarray(cp2),
-        p3=jnp.asarray(cp3),
-        mat=jnp.asarray(cmat),
-        obj=jnp.asarray(cobj),
-        order=jnp.asarray(corder),
-        is_mesh=jnp.asarray(cmesh),
-        valid=jnp.asarray(cvalid),
-        bmin=jnp.asarray(bmin),
-        bmax=jnp.asarray(bmax),
+        p1=p1,
+        p2=p2,
+        p3=p3,
+        mat=jnp.where(valid, soa.tri_mat[idx], 0),
+        obj=jnp.where(valid, soa.tri_obj[idx], _BIG),
+        order=jnp.where(valid, accel.order, _BIG),
+        is_mesh=valid & (soa.tri_mesh[idx] >= 0),
+        valid=valid,
+        bmin=bmin,
+        bmax=bmax,
     )
+
+
+def build_clusters(soa, cluster_size: int = CLUSTER_SIZE) -> TriClusters:
+    """Convenience: host partition + geometry gather in one call."""
+    return clusters_from_accel(soa, build_accel(soa, cluster_size))
 
 
 def slab_test(bmin, bmax, o, d):
@@ -178,12 +245,20 @@ class _FlatView:
     scene_center: jax.Array
 
 
-def flattened_cluster_candidates(clusters: TriClusters):
-    """A ray_cast tri_candidates provider over the clustered (reordered,
-    sentinel-padded) buffers — no culling, one dense cast. The semantics
-    oracle for the Pallas culling kernel: it validates that clustering
-    (permutation, padding, per-cluster AABBs aside) is hit-for-hit
-    equivalent to the scene-order brute force."""
+def _offset_order(order, order_base):
+    """Offset live order keys by a (possibly traced) shard base, keeping
+    the miss sentinel at _BIG."""
+    if isinstance(order_base, int) and order_base == 0:
+        return order
+    return jnp.where(order >= _BIG, _BIG, order + order_base)
+
+
+def cluster_candidates(soa, accel: Accel, o, d, min_dist, o0, order_base=0):
+    """Dense masked cast over the clustered (live-gathered) buffers — no
+    culling. The semantics oracle for the Pallas culling kernel: validates
+    that clustering (permutation, padding aside) is hit-for-hit equivalent
+    to the scene-order brute force. Fully differentiable (gathered verts)."""
+    clusters = clusters_from_accel(soa, accel)
     m, c = clusters.mat.shape
     flat = _FlatView(
         tri_p1=clusters.p1.reshape(m * c, 3),
@@ -191,24 +266,40 @@ def flattened_cluster_candidates(clusters: TriClusters):
         tri_p3=clusters.p3.reshape(m * c, 3),
         tri_obj=clusters.order.reshape(m * c),
         tri_valid=clusters.valid.reshape(m * c),
-        scene_center=jnp.zeros(3, jnp.float32),
+        scene_center=soa.scene_center,
     )
-    obj = clusters.obj.reshape(m * c)
-    mat = clusters.mat.reshape(m * c)
-    order = clusters.order.reshape(m * c)
-    is_mesh = clusters.is_mesh.reshape(m * c)
+    t, idx = I.cast_triangles(flat, o, d, min_dist, o0)
+    return I.TriCandidate(
+        t=t,
+        obj=clusters.obj.reshape(m * c)[idx],
+        order=_offset_order(clusters.order.reshape(m * c)[idx], order_base),
+        mat=clusters.mat.reshape(m * c)[idx],
+        is_mesh=clusters.is_mesh.reshape(m * c)[idx],
+        p1=flat.tri_p1[idx],
+        p2=flat.tri_p2[idx],
+        p3=flat.tri_p3[idx],
+    )
+
+
+def accel_candidates(soa, accel: Accel, o, d, min_dist, o0, order_base=0):
+    """ray_cast triangle-query provider for an Accel (kind dispatch)."""
+    if accel.kind == "clusters":
+        return cluster_candidates(soa, accel, o, d, min_dist, o0, order_base)
+    if accel.kind == "pallas":
+        from cutrace_tpu.ops.pallas_cast import pallas_candidates
+
+        return pallas_candidates(soa, accel, o, d, min_dist, o0, order_base)
+    raise ValueError(f"unknown accel kind {accel.kind!r}")
+
+
+def candidates_fn(accel: Optional[Accel]):
+    """A ray_cast `tri_candidates` callable bound to `accel` (None -> None,
+    i.e. brute force). Build it INSIDE the jit trace that receives the
+    Accel pytree, so `order`/`valid` stay traced arguments."""
+    if accel is None:
+        return None
 
     def provider(soa, o, d, min_dist, o0):
-        t, idx = I.cast_triangles(flat, o, d, min_dist, o0)
-        return I.TriCandidate(
-            t=t,
-            obj=obj[idx],
-            order=order[idx],
-            mat=mat[idx],
-            is_mesh=is_mesh[idx],
-            p1=flat.tri_p1[idx],
-            p2=flat.tri_p2[idx],
-            p3=flat.tri_p3[idx],
-        )
+        return accel_candidates(soa, accel, o, d, min_dist, o0)
 
     return provider

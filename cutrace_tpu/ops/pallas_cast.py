@@ -40,7 +40,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -220,84 +219,74 @@ def _run_cast(consts, bmin, bmax, o, d, min_dist, interpret, tile_r=TILE_R):
     return t[:r, 0], order[:r, 0]
 
 
-def pallas_tri_candidates(clusters: TriClusters, interpret=None):
-    """ray_cast tri_candidates provider backed by the culling kernel.
+def pallas_candidates(soa, accel, o, d, min_dist, o0, order_base=0):
+    """ray_cast triangle query backed by the culling kernel, for an
+    ops.bvh.Accel partition.
 
-    The kernel picks the winner (discrete); t and geometry are re-derived
-    in JAX for that one triangle per ray (continuous, differentiable).
-    `interpret=True` runs the kernel in interpreter mode (CPU tests)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    Runs inside the caller's trace: cluster geometry is gathered from the
+    LIVE soa.tri_* arrays (ops.bvh.clusters_from_accel), so the kernel
+    always culls against the current vertex positions. The kernel picks
+    only the winner's original flat triangle index (discrete, gradient-
+    stopped); the winner's vertices are then re-gathered from soa.tri_p1/
+    p2/p3 by that index and t is re-derived in plain JAX — the continuous
+    math stays attached to the parameters, so `jax.grad` w.r.t. vertices
+    flows exactly as in the brute-force path (the round-1 zero-gradient
+    defect this signature replaces)."""
+    from cutrace_tpu.ops import bvh
 
-    m, c = clusters.mat.shape
-    flat_p1 = clusters.p1.reshape(m * c, 3)
-    flat_p2 = clusters.p2.reshape(m * c, 3)
-    flat_p3 = clusters.p3.reshape(m * c, 3)
-    flat_obj = clusters.obj.reshape(m * c)
-    flat_mat = clusters.mat.reshape(m * c)
-    flat_mesh = clusters.is_mesh.reshape(m * c)
-    # One packed row per triangle (p1 p2 p3 | mat obj mesh | pad to 16):
-    # a single 16-lane row gather is ~3x cheaper on TPU than ten scattered
-    # element gathers (measured).
+    sg = jax.lax.stop_gradient
+    clusters = bvh.clusters_from_accel(soa, accel)
+    consts = _cluster_constants(sg(clusters), o0)
+    t_kernel, order = _run_cast(
+        consts, sg(clusters.bmin) - o0, sg(clusters.bmax) - o0,
+        sg(o - o0), sg(d), sg(min_dist), accel.interpret,
+    )
+    miss = order >= _BIG
+
+    # One packed row per ORIGINAL triangle (p1 p2 p3 | mat obj mesh | pad
+    # to 16): a single 16-lane row gather is ~3x cheaper on TPU than ten
+    # scattered element gathers (measured). Built from the live buffers in
+    # trace, so it is differentiable and never stale; XLA CSEs the concat
+    # across cast sites.
+    tcount = soa.tri_p1.shape[0]
     packed = jnp.concatenate(
         [
-            flat_p1, flat_p2, flat_p3,
-            flat_mat[:, None].astype(jnp.float32),
-            flat_obj[:, None].astype(jnp.float32),
-            flat_mesh[:, None].astype(jnp.float32),
-            jnp.zeros((m * c, 4), jnp.float32),
+            soa.tri_p1, soa.tri_p2, soa.tri_p3,
+            soa.tri_mat[:, None].astype(jnp.float32),
+            soa.tri_obj[:, None].astype(jnp.float32),
+            (soa.tri_mesh >= 0)[:, None].astype(jnp.float32),
+            jnp.zeros((tcount, 4), jnp.float32),
         ],
         axis=1,
     )
+    safe = jnp.clip(jnp.where(miss, 0, order), 0, tcount - 1)
+    row = packed[safe]  # (R, 16) single gather
+    p1 = row[:, 0:3]
+    p2 = row[:, 3:6]
+    p3 = row[:, 6:9]
+    r_mat = row[:, 9].astype(jnp.int32)
+    r_obj = row[:, 10].astype(jnp.int32)
+    r_mesh = row[:, 11] > 0.0
+    # Re-derive t differentiably for the winning triangle only.
+    op = o - o0
+    a = (p2 - o0) - (p1 - o0)
+    b = (p2 - o0) - (p3 - o0)
+    n = jnp.cross(a, b)
+    alpha = jnp.sum(d * n, axis=-1)
+    t_n = jnp.sum(((p2 - o0) - op) * n, axis=-1)
+    alpha_safe = jnp.where(alpha == 0.0, 1.0, alpha)
+    t = t_n / alpha_safe
+    t = jnp.where(miss | (alpha == 0.0), jnp.inf, t)
 
-    # original flat index -> clustered slot (for gathering by kernel
-    # output). Host numpy: eager jnp scatter here would dispatch tiny ops
-    # to the TPU at provider-construction time.
-    flat_order_np = np.asarray(clusters.order).reshape(m * c)
-    valid_np = flat_order_np < _BIG
-    n_orig = int(flat_order_np[valid_np].max()) + 1 if valid_np.any() else 1
-    inv_np = np.zeros(n_orig, np.int32)
-    inv_np[flat_order_np[valid_np]] = np.nonzero(valid_np)[0].astype(np.int32)
-    inv = jnp.asarray(inv_np)
+    from cutrace_tpu.ops.bvh import _offset_order
 
-    def provider(soa, o, d, min_dist, o0):
-        consts = _cluster_constants(clusters, o0)
-        t_kernel, order = _run_cast(
-            consts, clusters.bmin - o0, clusters.bmax - o0,
-            jax.lax.stop_gradient(o - o0),
-            jax.lax.stop_gradient(d), jax.lax.stop_gradient(min_dist),
-            interpret,
-        )
-        miss = order >= _BIG
-        slot = inv[jnp.clip(jnp.where(miss, 0, order), 0, inv.shape[0] - 1)]
-
-        row = packed[slot]  # (R, 16) single gather
-        p1 = row[:, 0:3]
-        p2 = row[:, 3:6]
-        p3 = row[:, 6:9]
-        r_mat = row[:, 9].astype(jnp.int32)
-        r_obj = row[:, 10].astype(jnp.int32)
-        r_mesh = row[:, 11] > 0.0
-        # Re-derive t differentiably for the winning triangle only.
-        op = o - o0
-        a = (p2 - o0) - (p1 - o0)
-        b = (p2 - o0) - (p3 - o0)
-        n = jnp.cross(a, b)
-        alpha = jnp.sum(d * n, axis=-1)
-        t_n = jnp.sum(((p2 - o0) - op) * n, axis=-1)
-        alpha_safe = jnp.where(alpha == 0.0, 1.0, alpha)
-        t = t_n / alpha_safe
-        t = jnp.where(miss | (alpha == 0.0), jnp.inf, t)
-
-        return I.TriCandidate(
-            t=t,
-            obj=jnp.where(miss, _BIG, r_obj),
-            order=jnp.where(miss, _BIG, order),
-            mat=jnp.where(miss, 0, r_mat),
-            is_mesh=r_mesh & ~miss,
-            p1=p1,
-            p2=p2,
-            p3=p3,
-        )
-
-    return provider
+    return I.TriCandidate(
+        t=t,
+        obj=jnp.where(miss, _BIG, r_obj),
+        order=_offset_order(jnp.where(miss, _BIG, order), order_base),
+        mat=jnp.where(miss, 0, r_mat),
+        is_mesh=r_mesh & ~miss,
+        p1=p1,
+        p2=p2,
+        p3=p3,
+    )

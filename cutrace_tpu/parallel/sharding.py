@@ -109,59 +109,130 @@ def shard_scene(soa: SceneArrays, mesh: Mesh) -> SceneArrays:
     )
 
 
-def sharded_tri_candidates(soa_local, o, d, min_dist, o0):
+def sharded_tri_candidates(accel_local=None):
     """Triangle query over a PRIM_AXIS-sharded buffer (runs inside
-    shard_map): local brute-force best, then all_gather the per-shard
-    winners and take the (t, global order) lexicographic min."""
-    axis = jax.lax.axis_index(PRIM_AXIS)
-    t_local = soa_local.tri_p1.shape[0]
-    cand = I.local_tri_candidates(
-        soa_local, o, d, min_dist, o0, order_base=axis * t_local
+    shard_map): local best — via the local Accel partition when given,
+    else brute force — then all_gather the per-shard winners and take the
+    (t, global order) lexicographic min. This is how the acceleration
+    kernel composes with primitive sharding: each device culls only its
+    own triangle shard."""
+
+    def tri_c(soa_local, o, d, min_dist, o0):
+        axis = jax.lax.axis_index(PRIM_AXIS)
+        t_local = soa_local.tri_p1.shape[0]
+        if accel_local is None:
+            cand = I.local_tri_candidates(
+                soa_local, o, d, min_dist, o0, order_base=axis * t_local
+            )
+        else:
+            from cutrace_tpu.ops import bvh
+
+            cand = bvh.accel_candidates(
+                soa_local, accel_local, o, d, min_dist, o0,
+                order_base=axis * t_local,
+            )
+        stacked = jax.lax.all_gather(cand, PRIM_AXIS)  # (K, R, ...) pytree
+        return I.combine_tri_candidates(stacked)
+
+    return tri_c
+
+
+def build_sharded_accel(soa: SceneArrays, mesh: Mesh, kind: str = "pallas",
+                        interpret=None, cluster_size: int = None):
+    """Per-PRIM-shard Accel partitions stacked to (n_prims, M, C) leaves
+    (shard over PRIM_AXIS; `order` indices are LOCAL to each shard's
+    triangle buffer). For a tiles-only mesh this is just a replicated
+    global Accel."""
+    from types import SimpleNamespace
+
+    from cutrace_tpu.ops import bvh
+
+    if cluster_size is None:
+        cluster_size = bvh.CLUSTER_SIZE
+    n_prims = mesh.shape[PRIM_AXIS]
+    if n_prims == 1:
+        return bvh.build_accel(soa, cluster_size, kind=kind,
+                               interpret=interpret)
+    soa_p = pad_triangles(soa, n_prims)
+    t_local = soa_p.tri_p1.shape[0] // n_prims
+    fields = ("tri_p1", "tri_p2", "tri_p3", "tri_valid")
+    host = {f: np.asarray(getattr(soa_p, f)) for f in fields}
+    views = [
+        SimpleNamespace(**{
+            f: host[f][k * t_local:(k + 1) * t_local] for f in fields
+        })
+        for k in range(n_prims)
+    ]
+    parts = [
+        bvh.build_accel(v, cluster_size, kind=kind, interpret=interpret)
+        for v in views
+    ]
+    m = max(a.order.shape[0] for a in parts)
+    parts = [
+        a if a.order.shape[0] == m
+        else bvh.build_accel(views[i], cluster_size, kind=kind,
+                             interpret=interpret, min_clusters=m)
+        for i, a in enumerate(parts)
+    ]
+    return bvh.Accel(
+        order=jnp.stack([a.order for a in parts]),
+        valid=jnp.stack([a.valid for a in parts]),
+        kind=parts[0].kind,
+        interpret=parts[0].interpret,
     )
-    stacked = jax.lax.all_gather(cand, PRIM_AXIS)  # (K, R, ...) pytree
-    return I.combine_tri_candidates(stacked)
 
 
 def render_pixels_sharded(soa, mesh: Mesh, idx, bounces: int, fudge,
-                          tri_candidates=None):
+                          accel=None):
     """shard_map render of flat pixel indices `idx` ((N,) i32, N divisible
     by n_tiles). Returns (color (N,3), depth (N,), normal (N,3)) sharded
     over TILE_AXIS.
 
-    `tri_candidates` (an acceleration provider from render.renderer.prepare,
-    e.g. the Pallas culling kernel over replicated clusters) applies only
-    when the mesh does not shard primitives — with PRIM_AXIS > 1 the
-    all_gather-combined sharded cast takes over."""
+    `accel` is an ops.bvh.Accel: replicated (M, C) leaves on a tiles-only
+    mesh, or per-shard (n_prims, M, C) leaves from `build_sharded_accel`
+    when PRIM_AXIS > 1 (each device culls its own triangle shard before
+    the all_gather combine)."""
     n_prims = mesh.shape[PRIM_AXIS]
     shard_prims = n_prims > 1
-    tri_c = sharded_tri_candidates if shard_prims else tri_candidates
+    if accel is None:
+        accel_specs = None
+    else:
+        spec = P(PRIM_AXIS) if shard_prims else P()
+        accel_specs = jax.tree.map(lambda _: spec, accel)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(scene_specs(soa, shard_prims), P(TILE_AXIS)),
+        in_specs=(scene_specs(soa, shard_prims), P(TILE_AXIS), accel_specs),
         out_specs=(P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS)),
         check_vma=False,
     )
-    def body(soa_local, idx_local):
+    def body(soa_local, idx_local, accel_local):
+        if shard_prims:
+            if accel_local is not None:
+                # drop the sharded leading axis: (1, M, C) -> (M, C)
+                accel_local = jax.tree.map(lambda x: x[0], accel_local)
+            tri_c = sharded_tri_candidates(accel_local)
+        else:
+            from cutrace_tpu.ops.bvh import candidates_fn
+
+            tri_c = candidates_fn(accel_local)
         o, d = camera_rays(soa_local, idx_local % soa.width,
                            idx_local // soa.width)
         return render_rays(soa_local, o, d, bounces, fudge, tri_c)
 
-    return body(soa, idx)
+    return body(soa, idx, accel)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("bounces", "mesh", "tri_candidates")
-)
-def _render_sharded_jit(soa, mesh, fudge, bounces, tri_candidates=None):
+@functools.partial(jax.jit, static_argnames=("bounces", "mesh"))
+def _render_sharded_jit(soa, mesh, fudge, bounces, accel=None):
     n = soa.width * soa.height
     n_tiles = mesh.shape[TILE_AXIS]
     n_pad = _ceil_to(n, n_tiles)
     idx = jnp.arange(n_pad, dtype=jnp.int32)
     idx = jax.device_put(idx, NamedSharding(mesh, P(TILE_AXIS)))
     color, depth, normal = render_pixels_sharded(
-        soa, mesh, idx, bounces, fudge, tri_candidates
+        soa, mesh, idx, bounces, fudge, accel
     )
     return (
         color[:n].reshape(soa.height, soa.width, 3),
@@ -177,16 +248,19 @@ def render_sharded(
     render.renderer.render: image tiles over TILE_AXIS, triangles over
     PRIM_AXIS (if mesh has >1), scene otherwise replicated.
 
-    Accepts a SceneArrays or a render.renderer.PreparedScene; a prepared
-    acceleration provider is used on tile-only meshes (clusters replicated
-    per device, like the scene)."""
+    Accepts a SceneArrays or a render.renderer.PreparedScene. On a
+    tiles-only mesh the prepared Accel is replicated per device like the
+    scene; with PRIM_AXIS > 1 it is re-partitioned per triangle shard
+    (build_sharded_accel) so each device culls only its shard."""
     from cutrace_tpu.render.renderer import PreparedScene
 
-    provider = None
+    accel = None
     if isinstance(scene, PreparedScene):
-        provider = scene.tri_candidates
+        accel = scene.accel
         scene = scene.soa
+    if accel is not None and mesh.shape[PRIM_AXIS] > 1:
+        accel = build_sharded_accel(
+            scene, mesh, kind=accel.kind, interpret=accel.interpret
+        )
     soa = shard_scene(scene, mesh)
-    if mesh.shape[PRIM_AXIS] > 1:
-        provider = None  # sharded cast takes over
-    return _render_sharded_jit(soa, mesh, jnp.float32(fudge), bounces, provider)
+    return _render_sharded_jit(soa, mesh, jnp.float32(fudge), bounces, accel)

@@ -23,15 +23,19 @@ from cutrace_tpu.parallel import sharding as sh
 from cutrace_tpu.scene.soa import SceneArrays
 
 
-def sharded_loss(params, soa, mesh, target_flat, bounces, fudge):
-    """MSE between the TILE_AXIS-sharded render and target ((N,3) flat)."""
+def sharded_loss(params, soa, mesh, target_flat, bounces, fudge, accel=None):
+    """MSE between the TILE_AXIS-sharded render and target ((N,3) flat).
+
+    `accel` (ops.bvh.Accel, global or per-prim-shard) accelerates the
+    triangle query; gradients flow through it because cluster geometry is
+    gathered from the live params inside the trace (ops/bvh.py)."""
     s = with_params(soa, params)
     n = s.width * s.height
     idx = jnp.arange(sh._ceil_to(n, mesh.shape[sh.TILE_AXIS]), dtype=jnp.int32)
     idx = jax.lax.with_sharding_constraint(
         idx, NamedSharding(mesh, P(sh.TILE_AXIS))
     )
-    color, _, _ = sh.render_pixels_sharded(s, mesh, idx, bounces, fudge)
+    color, _, _ = sh.render_pixels_sharded(s, mesh, idx, bounces, fudge, accel)
     diff = (color[:n] - target_flat.reshape(-1, 3)) ** 2
     return jnp.mean(diff)
 
@@ -42,19 +46,22 @@ def make_train_step(
     bounces: int = 2,
     fudge: float = 1e-3,
     param_filter: Optional[Tuple[str, ...]] = None,
+    accel=None,
 ) -> Callable:
     """A jitted SGD/Adam step over scene parameters on a device mesh.
 
     Returns step(params, opt_state, soa, target) -> (params, opt_state,
     loss). `param_filter` restricts which parameter groups receive updates
     (e.g. ("mat_color",) for material-only optimization); others get zero
-    updates but stay in the pytree.
+    updates but stay in the pytree. `accel` accelerates the cast (see
+    sharded_loss); the partition stays fixed across steps — correct for
+    any vertex positions, merely less tight as geometry drifts.
     """
 
     @functools.partial(jax.jit, static_argnames=())
     def step(params, opt_state, soa, target):
         loss, grads = jax.value_and_grad(sharded_loss)(
-            params, soa, mesh, target, bounces, fudge
+            params, soa, mesh, target, bounces, fudge, accel
         )
         if param_filter is not None:
             grads = {
@@ -79,11 +86,25 @@ def fit(
     verbose: bool = False,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 50,
+    accel: str = "auto",
 ):
     """Optimize scene parameters to match a target image. Returns
     (params, losses). With `checkpoint_dir`, optimizer state is saved every
     `checkpoint_every` steps and training resumes from the newest
-    checkpoint automatically (diff/checkpoint.py)."""
+    checkpoint automatically (diff/checkpoint.py).
+
+    `accel`: "none", "clusters", "pallas", "auto" (pallas on TPU when the
+    scene has enough triangles, else none), or a prebuilt ops.bvh.Accel.
+    With PRIM_AXIS > 1 the partition is built per triangle shard."""
+    if isinstance(accel, str):
+        if accel == "auto":
+            on_tpu = jax.default_backend() == "tpu"
+            big = int(soa.tri_p1.shape[0]) >= 256
+            accel = "pallas" if (on_tpu and big) else "none"
+        accel = (
+            None if accel == "none"
+            else sh.build_sharded_accel(soa, mesh, kind=accel)
+        )
     soa = sh.shard_scene(soa, mesh)
     target = jnp.asarray(target, jnp.float32).reshape(-1, 3)
     opt = optax.adam(lr)
@@ -99,7 +120,8 @@ def fit(
             start += 1
             if verbose:
                 print(f"resumed from step {start - 1}")
-    step = make_train_step(mesh, opt, bounces, param_filter=param_filter)
+    step = make_train_step(mesh, opt, bounces, param_filter=param_filter,
+                           accel=accel)
     losses = []
     for i in range(start, steps):
         params, state, loss = step(params, state, soa, target)

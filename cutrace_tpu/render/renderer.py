@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,15 +29,19 @@ from cutrace_tpu.scene.soa import SceneArrays, scene_to_soa
 
 @dataclasses.dataclass(frozen=True)
 class PreparedScene:
-    """A scene plus its acceleration structure and triangle-query provider.
+    """A scene plus its acceleration structure (an ops.bvh.Accel partition,
+    or None for brute force).
 
-    Build once per scene with `prepare()`; the provider's identity keys the
-    jit cache, so rendering the same PreparedScene repeatedly never
-    recompiles."""
+    Build once per scene with `prepare()`. The Accel stores only the
+    triangle PARTITION; geometry is gathered from the live soa inside the
+    traced render, so updating `soa` parameters (dataclasses.replace) never
+    renders stale geometry and jax.grad flows through the accelerated path
+    (ops/bvh.py module docstring). Accel's static fields (kind, interpret)
+    key the jit cache; its arrays trace, so re-partitioning after large
+    vertex motion does not recompile."""
 
     soa: SceneArrays
-    tri_candidates: Optional[Callable] = None  # None = brute force
-    accel: str = "none"
+    accel: Optional[object] = None  # ops.bvh.Accel | None
 
 
 def prepare(scene_or_soa, accel: str = "auto") -> PreparedScene:
@@ -62,16 +66,9 @@ def prepare(scene_or_soa, accel: str = "auto") -> PreparedScene:
 
     from cutrace_tpu.ops import bvh
 
-    clusters = bvh.build_clusters(soa)
-    if accel == "clusters":
-        provider = bvh.flattened_cluster_candidates(clusters)
-    elif accel == "pallas":
-        from cutrace_tpu.ops.pallas_cast import pallas_tri_candidates
-
-        provider = pallas_tri_candidates(clusters)
-    else:
+    if accel not in ("clusters", "pallas"):
         raise ValueError(f"unknown accel {accel!r}")
-    return PreparedScene(soa=soa, tri_candidates=provider, accel=accel)
+    return PreparedScene(soa=soa, accel=bvh.build_accel(soa, kind=accel))
 
 
 def camera_rays(soa: SceneArrays, px, py):
@@ -138,12 +135,13 @@ def _block_order(w: int, h: int, n_pad: int, bw: int = 32, bh: int = 16):
     return order, inverse
 
 
-@functools.partial(
-    jax.jit, static_argnames=("bounces", "chunk", "tri_candidates")
-)
+@functools.partial(jax.jit, static_argnames=("bounces", "chunk"))
 def _render_padded(
-    soa: SceneArrays, fudge, bounces: int, chunk: int, tri_candidates=None
+    soa: SceneArrays, fudge, bounces: int, chunk: int, accel=None
 ):
+    from cutrace_tpu.ops.bvh import candidates_fn
+
+    tri_candidates = candidates_fn(accel)
     n = soa.width * soa.height
     n_pad = _ceil_to(n, chunk)
     order, inverse = _block_order(soa.width, soa.height, n_pad)
@@ -182,9 +180,9 @@ def render(
     8x128 f32 VPU tile). Accepts a Scene, SceneArrays (both: brute-force
     cast) or a PreparedScene from prepare() (uses its acceleration
     structure)."""
-    provider = None
+    accel = None
     if isinstance(scene_or_soa, PreparedScene):
-        provider = scene_or_soa.tri_candidates
+        accel = scene_or_soa.accel
         scene_or_soa = scene_or_soa.soa
     soa = (
         scene_or_soa
@@ -196,15 +194,15 @@ def render(
         # Bound peak ray-batch size: the deepest wavefront level carries
         # 2^bounces nodes per pixel when a scene has both reflective and
         # transparent materials, and shadow marches batch all lights into
-        # one cast (shading.ray_color / phong). The brute-force cast
-        # materializes (rays x triangles) intermediates, so without an
-        # acceleration provider the light fan-out must also be bounded.
+        # one cast (shading.ray_color / phong). The brute-force and dense
+        # cluster casts materialize (rays x triangles) intermediates, so
+        # without the culling kernel the light fan-out must also be bounded.
         max_nodes = (
             2**bounces if (soa.any_reflective and soa.any_transparent) else 1
         )
-        if provider is None:
+        if accel is None or accel.kind != "pallas":
             max_nodes *= max(1, soa.n_lights)
         chunk = max(1024, 65536 // max_nodes)
         chunk = min(chunk, _ceil_to(n, 8))
     chunk = max(8, min(chunk, _ceil_to(n, 8)))
-    return _render_padded(soa, jnp.float32(fudge), bounces, chunk, provider)
+    return _render_padded(soa, jnp.float32(fudge), bounces, chunk, accel)

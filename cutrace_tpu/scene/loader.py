@@ -113,6 +113,11 @@ def load_from(
             _err(errors, f"Could not find 'camera' object or it's invalid: {e}.", quiet)
 
     scene.reindex()
+    # Cross-reference validation (an out-of-bounds material index is UB in
+    # the reference — silent clamping on device would mask the authoring
+    # bug). Reported with the reference's element-error discipline.
+    for msg in scene.validate():
+        _err(errors, f"Error while validating scene: {msg}", quiet)
     return LoadResult(scene, ok=not errors, errors=errors)
 
 

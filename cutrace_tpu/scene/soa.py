@@ -6,8 +6,10 @@ arrays-of-`gpu_variant` dispatched per element (inc/gpu_variant.hpp:131-267),
 every primitive kind gets its own structure-of-arrays buffer, intersected in
 one vectorized pass per kind (SURVEY.md §7 design decision "SoA, not
 variants"). Mesh triangles are flattened into the global triangle buffer with
-a `tri_mesh` id so the per-mesh AABB gate (default_schema.hpp:99-114) and the
-mesh uv-overwrite quirk (default_schema.hpp:138-139) survive the flattening.
+a `tri_mesh` id so the mesh uv-overwrite quirk (default_schema.hpp:138-139)
+survives the flattening; the per-mesh AABB gate (default_schema.hpp:99-114)
+is superseded by the per-cluster AABB culling in ops/bvh.py (a strictly
+finer partition of the same triangles).
 
 Evaluation-order parity: the reference's `ray_cast` scans objects in scene
 order and keeps strictly-closer hits (ray_cast.hpp:37-52), so the first
@@ -58,10 +60,6 @@ class SceneArrays:
     tri_obj: jax.Array  # (T,) i32
     tri_mesh: jax.Array  # (T,) i32  mesh slot, -1 for standalone triangles
     tri_valid: jax.Array  # (T,) bool
-
-    # per-mesh AABBs (default_schema.hpp:573-586)
-    mesh_bmin: jax.Array  # (M, 3) f32
-    mesh_bmax: jax.Array  # (M, 3) f32
 
     # planes
     pl_point: jax.Array  # (P, 3) f32
@@ -151,7 +149,7 @@ def scene_to_soa(scene: T.Scene, shadow_steps: int = 16) -> SceneArrays:
     exactly t_max == 1 the reference never terminates at all).
     """
     tp1, tp2, tp3, tmat, tobj, tmesh = [], [], [], [], [], []
-    mbmin, mbmax = [], []
+    n_meshes = 0
     plp, pln, plm, plo = [], [], [], []
     spc, spr, spm, spo = [], [], [], []
 
@@ -164,10 +162,8 @@ def scene_to_soa(scene: T.Scene, shadow_steps: int = 16) -> SceneArrays:
             tobj.append(i)
             tmesh.append(-1)
         elif isinstance(obj, T.Mesh):
-            mesh_id = len(mbmin)
-            bmin, bmax = obj.bounding_box()
-            mbmin.append(bmin)
-            mbmax.append(bmax)
+            mesh_id = n_meshes
+            n_meshes += 1
             for tri in obj.vertices:
                 tp1.append(tri[0])
                 tp2.append(tri[1])
@@ -201,13 +197,6 @@ def scene_to_soa(scene: T.Scene, shadow_steps: int = 16) -> SceneArrays:
     pl_point, pl_valid = pad3(plp, _PAD_PLANE[0])
     pl_normal, _ = pad3(pln, _PAD_PLANE[1])
     sp_center, sp_valid = pad3(spc, _PAD_SPHERE)
-
-    if mbmin:
-        mesh_bmin = np.stack(mbmin).astype(np.float32)
-        mesh_bmax = np.stack(mbmax).astype(np.float32)
-    else:
-        mesh_bmin = np.full((1, 3), np.inf, np.float32)
-        mesh_bmax = np.full((1, 3), -np.inf, np.float32)
 
     mats = scene.materials or [T.SolidMaterial(color=(0.0, 0.0, 0.0))]
     mat_color = np.stack([m.color for m in mats]).astype(np.float32)
@@ -250,9 +239,23 @@ def scene_to_soa(scene: T.Scene, shadow_steps: int = 16) -> SceneArrays:
     any_transparent = bool((mat_transp >= 1e-6).any())
     t_max = float(mat_transp.max()) if len(mats) else 0.0
     if t_max >= 1.0:
-        exact_steps = shadow_steps
+        # The reference's march never terminates at transparency == 1
+        # (each occluder adds 0 opacity); any finite cap deviates.
+        exact_steps = shadow_steps + 1
     else:
         exact_steps = int(np.ceil(1.0 / (1.0 - t_max)))
+    if exact_steps > shadow_steps:
+        import warnings
+
+        warnings.warn(
+            f"scene has material transparency {t_max:.4f}: the exact shadow "
+            f"march needs {exact_steps} steps but is capped at "
+            f"{shadow_steps}; stacked transparent occluders may "
+            f"under-accumulate shadow opacity vs the reference's unbounded "
+            f"march (shading.hpp:22-45). Raise scene_to_soa(shadow_steps=)"
+            f" to restore exactness.",
+            stacklevel=2,
+        )
 
     return SceneArrays(
         tri_p1=_f32(tri_p1),
@@ -262,8 +265,6 @@ def scene_to_soa(scene: T.Scene, shadow_steps: int = 16) -> SceneArrays:
         tri_obj=_i32(pad1(tobj, np.int32)),
         tri_mesh=_i32(pad1(tmesh, np.int32)),
         tri_valid=jnp.asarray(tri_valid),
-        mesh_bmin=_f32(mesh_bmin),
-        mesh_bmax=_f32(mesh_bmax),
         pl_point=_f32(pl_point),
         pl_normal=_f32(pl_normal),
         pl_mat=_i32(pad1(plm, np.int32)),

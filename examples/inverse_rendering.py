@@ -10,10 +10,15 @@ differentiable rendering + distributed optimization + checkpoint/resume.
 import argparse
 import dataclasses
 import pathlib
-import sys
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-sys.path.insert(0, str(REPO))
+
+try:
+    import cutrace_tpu  # noqa: F401  (installed: pip install -e .)
+except ImportError:  # running from a source checkout without install
+    import sys
+
+    sys.path.insert(0, str(REPO))
 
 
 def main():
