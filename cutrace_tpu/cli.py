@@ -70,9 +70,10 @@ def main(argv=None) -> int:
     parser.add_argument("--strict", action="store_true",
                         help="reject legacy schema aliases")
     parser.add_argument("--accel", default="auto",
-                        choices=("auto", "none", "clusters", "pallas"),
+                        choices=("auto", "none", "clusters", "pallas",
+                                 "fused"),
                         help="triangle acceleration structure (default: "
-                        "auto — Pallas culling kernel on TPU)")
+                        "auto — fused whole-pipeline Pallas kernel on TPU)")
     parser.add_argument("--platform", default=None,
                         help="force a JAX platform (e.g. cpu, tpu); the "
                         "preinstalled TPU plugin ignores JAX_PLATFORMS, so "

@@ -282,10 +282,13 @@ def cluster_candidates(soa, accel: Accel, o, d, min_dist, o0, order_base=0):
 
 
 def accel_candidates(soa, accel: Accel, o, d, min_dist, o0, order_base=0):
-    """ray_cast triangle-query provider for an Accel (kind dispatch)."""
+    """ray_cast triangle-query provider for an Accel (kind dispatch).
+    A "fused" partition is identical to a "pallas" one — when the fused
+    whole-pipeline kernel doesn't apply (ops/fused.py scope), composable
+    paths fall back to the culling-cast kernel over the same clusters."""
     if accel.kind == "clusters":
         return cluster_candidates(soa, accel, o, d, min_dist, o0, order_base)
-    if accel.kind == "pallas":
+    if accel.kind in ("pallas", "fused"):
         from cutrace_tpu.ops.pallas_cast import pallas_candidates
 
         return pallas_candidates(soa, accel, o, d, min_dist, o0, order_base)

@@ -48,8 +48,10 @@ def prepare(scene_or_soa, accel: str = "auto") -> PreparedScene:
     """Build the device scene + acceleration structure.
 
     accel: "none" (brute force), "clusters" (clustered buffers, no culling
-    — the oracle), "pallas" (TPU culling kernel, interpreter on CPU), or
-    "auto" (pallas when the scene has enough triangles to matter)."""
+    — the oracle), "pallas" (TPU culling-cast kernel, interpreter on CPU),
+    "fused" (whole-pipeline Pallas kernel: cast + shadows + bounce shading
+    in one kernel, ops/fused.py — falls back to "pallas" semantics where
+    it doesn't apply), or "auto" (fused on TPU)."""
     soa = (
         scene_or_soa
         if isinstance(scene_or_soa, SceneArrays)
@@ -57,16 +59,16 @@ def prepare(scene_or_soa, accel: str = "auto") -> PreparedScene:
     )
     n_tris = int(soa.tri_p1.shape[0])
     if accel == "auto":
-        # The culling kernel only pays off compiled on real TPU hardware
-        # (interpret mode on CPU is strictly slower than brute force).
+        # Kernels only pay off compiled on real TPU hardware (interpret
+        # mode on CPU is strictly slower than brute force).
         on_tpu = jax.default_backend() == "tpu"
-        accel = "pallas" if (on_tpu and n_tris >= 256) else "none"
+        accel = "fused" if on_tpu else "none"
     if accel == "none":
         return PreparedScene(soa=soa)
 
     from cutrace_tpu.ops import bvh
 
-    if accel not in ("clusters", "pallas"):
+    if accel not in ("clusters", "pallas", "fused"):
         raise ValueError(f"unknown accel {accel!r}")
     return PreparedScene(soa=soa, accel=bvh.build_accel(soa, kind=accel))
 
@@ -135,6 +137,29 @@ def _block_order(w: int, h: int, n_pad: int, bw: int = 32, bh: int = 16):
     return order, inverse
 
 
+@functools.partial(jax.jit, static_argnames=("bounces", "fudge"))
+def _render_fused(soa: SceneArrays, bounces: int, fudge: float, accel):
+    """Whole-image render through the fused whole-pipeline kernel
+    (ops/fused.py): pixels visit in 32x16 blocks (one kernel tile = one
+    compact image block), one pallas_call for the full frame."""
+    from cutrace_tpu.ops.fused import TILE_R, fused_render_rays
+
+    n = soa.width * soa.height
+    n_pad = _ceil_to(n, TILE_R)
+    order, inverse = _block_order(soa.width, soa.height, n_pad)
+    idx = order
+    o, d = camera_rays(soa, idx % soa.width, idx // soa.width)
+    color, depth, normal = fused_render_rays(soa, accel, o, d, fudge, bounces)
+    color = color[inverse]
+    depth = depth[inverse]
+    normal = normal[inverse]
+    return (
+        color[:n].reshape(soa.height, soa.width, 3),
+        depth[:n].reshape(soa.height, soa.width),
+        normal[:n].reshape(soa.height, soa.width, 3),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("bounces", "chunk"))
 def _render_padded(
     soa: SceneArrays, fudge, bounces: int, chunk: int, accel=None
@@ -189,6 +214,13 @@ def render(
         if isinstance(scene_or_soa, SceneArrays)
         else scene_to_soa(scene_or_soa)
     )
+    if accel is not None and accel.kind == "fused":
+        from cutrace_tpu.ops.fused import fused_supported
+
+        if fused_supported(soa, accel, bounces):
+            return _render_fused(soa, bounces, float(fudge), accel)
+        # out of the fused kernel's scope (big scene / deep two-branch
+        # tree): the same partition drives the composable culling cast
     n = soa.width * soa.height
     if chunk is None:
         # Bound peak ray-batch size: the deepest wavefront level carries
@@ -200,7 +232,7 @@ def render(
         max_nodes = (
             2**bounces if (soa.any_reflective and soa.any_transparent) else 1
         )
-        if accel is None or accel.kind != "pallas":
+        if accel is None or accel.kind not in ("pallas", "fused"):
             max_nodes *= max(1, soa.n_lights)
         chunk = max(1024, 65536 // max_nodes)
         chunk = min(chunk, _ceil_to(n, 8))

@@ -1,0 +1,134 @@
+"""Fused whole-pipeline kernel (ops/fused.py) vs the composable renderer.
+
+The composable JAX path (ray_cast + shading.ray_color) is the semantics
+oracle; the fused kernel must reproduce its color/depth/normal output to
+float tolerance on every bundled scene that is in scope (chain bounce
+trees; sphere_plane's two-branch tree at small bounce depth)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cutrace_tpu.ops import bvh
+from cutrace_tpu.render.renderer import prepare, render
+from cutrace_tpu.scene.loader import load_scene
+from cutrace_tpu.scene.soa import scene_to_soa
+
+
+def _load(scenes_dir, name, w, h):
+    sc = load_scene(scenes_dir / name)
+    sc.camera.width, sc.camera.height = w, h
+    return scene_to_soa(sc)
+
+
+def _compare(base, out, names=("color", "depth", "normal"), atol=1e-4,
+             edge_budget=0.05):
+    """The kernel re-derives t elementwise (vs the matmul-form composable
+    cast), so nearest-hit winners can flip at float-equal knife edges —
+    ULP-level deviations that the bounce recursion amplifies into visible
+    single-pixel changes ON image discontinuities only (the same deviation
+    class the golden-image suite budgets, tests/test_device_renderer.py).
+    Gate: ZERO mismatches away from discontinuities of the reference
+    image, small budget on them."""
+    from test_device_renderer import discontinuity_mask
+
+    for a, b, name in zip(base, out, names):
+        a, b = np.asarray(a), np.asarray(b)
+        ok = np.isclose(a, b, atol=atol) | (np.isinf(a) & np.isinf(b))
+        bad = ~ok.reshape(a.shape[0], a.shape[1], -1).all(-1)
+        edges = discontinuity_mask(a)
+        off = bad & ~edges
+        assert off.sum() == 0, (
+            f"{name}: {off.sum()} mismatches OFF discontinuities at "
+            f"{np.argwhere(off)[:3].tolist()}"
+        )
+        on_frac = (bad & edges).sum() / max(edges.sum(), 1)
+        assert on_frac <= edge_budget, (
+            f"{name}: {on_frac:.3f} of edge pixels mismatch"
+        )
+
+
+@pytest.mark.parametrize(
+    "scene,bounces",
+    [
+        ("triangle.json", 5),     # no branches
+        ("bunny.json", 3),        # reflection chain, 4 lights, mesh+planes
+        ("mirror.json", 3),       # strong mirrors, 2 lights
+        ("sphere_plane.json", 2), # reflective AND transparent (tree),
+                                  # spheres + transparency shadow march
+    ],
+)
+def test_fused_matches_composable(scenes_dir, scene, bounces):
+    soa = _load(scenes_dir, scene, 48, 27)
+    base = render(prepare(soa, accel="none"), bounces=bounces)
+    out = render(prepare(soa, accel="fused"), bounces=bounces)
+    _compare(base, out, atol=2e-4)
+
+
+def test_fused_out_of_scope_falls_back(scenes_dir):
+    """sphere_plane at bounce depth 5 (two-branch tree) is out of kernel
+    scope — render() must fall back to the composable culling cast and
+    still match brute force."""
+    soa = _load(scenes_dir, "sphere_plane.json", 32, 16)
+    base = render(prepare(soa, accel="none"), bounces=5)
+    out = render(prepare(soa, accel="fused"), bounces=5)
+    _compare(base, out, atol=1e-4)
+
+
+def test_fused_gradients_via_composable_backward(scenes_dir):
+    """jax.grad through a fused render must match brute-force gradients
+    (the custom_vjp reroutes the backward through the composable path) —
+    never silently zero."""
+    from cutrace_tpu.ops.fused import fused_render_rays
+    from cutrace_tpu.render.renderer import camera_rays
+    from cutrace_tpu.diff.grad import extract_params, with_params
+
+    soa = _load(scenes_dir, "mirror.json", 16, 9)
+    accel = bvh.build_accel(soa, 128, kind="fused", interpret=True)
+    idx = jnp.arange(16 * 9, dtype=jnp.int32)
+
+    def loss_fused(params):
+        s = with_params(soa, params)
+        o, d = camera_rays(s, idx % 16, idx // 16)
+        color, _, _ = fused_render_rays(s, accel, o, d, 1e-3, 2)
+        return jnp.mean(color**2)
+
+    def loss_brute(params):
+        from cutrace_tpu.render.renderer import render_rays
+
+        s = with_params(soa, params)
+        o, d = camera_rays(s, idx % 16, idx // 16)
+        color, _, _ = render_rays(s, o, d, 2, jnp.float32(1e-3))
+        return jnp.mean(color**2)
+
+    params = extract_params(soa)
+    g_fused = jax.grad(loss_fused)(params)
+    g_brute = jax.grad(loss_brute)(params)
+    for field in ("tri_p1", "mat_color", "light_color"):
+        a = np.asarray(g_brute[field])
+        b = np.asarray(g_fused[field])
+        assert np.abs(a).sum() > 1e-4, f"brute {field} grad is zero?!"
+        assert np.allclose(a, b, rtol=1e-3, atol=1e-5), field
+
+
+def test_fused_never_stale(scenes_dir):
+    """Moving vertices with a fixed fused partition must re-render the
+    moved geometry (tables are gathered live in-trace)."""
+    soa = _load(scenes_dir, "bunny.json", 32, 18)
+    prepared = prepare(soa, accel="fused")
+    before = np.asarray(render(prepared, bounces=1)[0])
+    shift = jnp.asarray([0.0, 1.5, 0.0], jnp.float32)
+    moved = dataclasses.replace(
+        soa,
+        tri_p1=soa.tri_p1 + shift,
+        tri_p2=soa.tri_p2 + shift,
+        tri_p3=soa.tri_p3 + shift,
+    )
+    out = np.asarray(render(dataclasses.replace(prepared, soa=moved),
+                            bounces=1)[0])
+    ref = np.asarray(render(moved, bounces=1)[0])
+    assert not np.allclose(before, out), "fused render is stale"
+    _compare([ref], [out], names=("color",), atol=1e-3)
