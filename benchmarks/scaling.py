@@ -37,6 +37,14 @@ def main():
                     help="force the virtual CPU mesh (mechanics check)")
     args = ap.parse_args()
 
+    if args.cpu:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        )
+
     import jax
 
     if args.cpu:

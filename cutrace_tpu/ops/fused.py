@@ -223,6 +223,7 @@ def _ceil_to(x, m):
 def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                  any_refl, any_transp, tile_r, secondary_cull):
     """Build the fused kernel body (python-specialized on static config)."""
+    n_words = -(-m // 32)  # packed cull-mask words per tile
 
     def kernel(hits_ref, rays_ref, *rest):
         n_tab = len(_TABLE_NAMES)
@@ -362,7 +363,13 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     bk_s[:] = jnp.where(better, kmin, best_k)
 
                 if primary:
-                    @pl.when(hits_ref[i, mi] > 0)
+                    # hits is bit-packed 1-D (n_tiles * ceil(M/32),) int32:
+                    # 2-D prefetch operands are padded to (8, 128) tiles
+                    # even in SMEM, so a (n_tiles, M) — or even (n_tiles,
+                    # W) — mask blows the 1 MiB SMEM at 1080p (4056 x 128
+                    # x 4 B = 2 MiB); the flat packed form is 65 KiB
+                    word = hits_ref[i * n_words + mi // 32]
+                    @pl.when(((word >> (mi % 32)) & 1) != 0)
                     def _():
                         visit()
                 elif secondary_cull:
@@ -747,7 +754,19 @@ def _fused_forward(soa, accel, o, d, fudge, bounces):
     bmin = aabb[0:3].T
     bmax = aabb[3:6].T
     ray_hits = slab_test(bmin, bmax, rays[:, 0:3], rays[:, 3:6])
-    hits = ray_hits.reshape(n_tiles, tile_r, m).any(axis=1).astype(jnp.int32)
+    tile_hits = ray_hits.reshape(n_tiles, tile_r, m).any(axis=1)
+    # bit-pack per-tile cluster masks into int32 words: the prefetched SMEM
+    # operand is (n_tiles, ceil(M/32)) instead of (n_tiles, M) — 1080p with
+    # M=128 would otherwise need 2 MiB of the chip's 1 MiB SMEM
+    w = -(-m // 32)
+    padded = jnp.zeros((n_tiles, w * 32), jnp.uint32)
+    padded = padded.at[:, :m].set(tile_hits.astype(jnp.uint32))
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    hits = jax.lax.bitcast_convert_type(
+        jnp.sum(padded.reshape(n_tiles, w, 32) << shifts, axis=-1,
+                dtype=jnp.uint32),
+        jnp.int32,
+    ).reshape(n_tiles * w)
 
     scalars = jnp.stack(
         [sg(soa.ambient).astype(jnp.float32), jnp.float32(fudge),

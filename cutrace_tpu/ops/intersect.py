@@ -35,9 +35,12 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 INF = jnp.inf
-_BIG_I32 = jnp.int32(2**31 - 1)
+# np scalar, not jnp: a module-level jnp constant initializes the
+# XLA backend at import time, breaking jax.distributed.initialize()
+_BIG_I32 = np.int32(2**31 - 1)
 
 
 @jax.tree_util.register_dataclass

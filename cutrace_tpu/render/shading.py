@@ -22,11 +22,14 @@ Accumulation-order parity (the "hard part" per SURVEY.md §7): reflection
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from cutrace_tpu.ops import intersect as I
 
 _EPS = 1e-6  # material activity threshold (default_schema.hpp:334-335)
-_UNIT_Z = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+# np, not jnp: a module-level device constant would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize()
+_UNIT_Z = np.asarray([0.0, 0.0, 1.0], np.float32)
 
 
 def _dot(a, b):

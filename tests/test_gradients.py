@@ -121,6 +121,26 @@ def test_tangent_sphere_grad_finite(sp_soa):
         assert np.isfinite(np.asarray(g)).all(), f"non-finite grad in {k}"
 
 
+@pytest.mark.parametrize("scene_name", ["mirror.json", "bunny_small.json"])
+def test_fd_baseline_scenes(scenes_dir, scene_name):
+    """BASELINE.md names mirror.json and bunny_small.json as the
+    finite-difference gate workloads: central differences vs autodiff for
+    a vertex coordinate, a material color channel, and a light intensity
+    channel on each (fixed topology, f32)."""
+    sc = load_scene(scenes_dir / scene_name)
+    sc.camera.width, sc.camera.height = 24, 14
+    soa = scene_to_soa(sc)
+    target = _target_for(soa, 1)
+    checks = [
+        ("tri_p1", (0, 1)),
+        ("mat_color", (0, 0)),  # bunny_small has exactly one material
+        ("light_color", (0, 2)),
+    ]
+    for field, index in checks:
+        fd_check(soa, target, field, index, bounces=1, eps=2e-3,
+                 rtol=5e-2, atol=5e-6)
+
+
 @pytest.mark.parametrize("scene_name,bounces", [
     ("triangle.json", 2),
     ("sphere_plane.json", 2),
