@@ -221,9 +221,17 @@ def _ceil_to(x, m):
 
 
 def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
-                 any_refl, any_transp, tile_r, secondary_cull):
-    """Build the fused kernel body (python-specialized on static config)."""
+                 any_refl, any_transp, tile_r, secondary_cull,
+                 has_planes, has_spheres):
+    """Build the fused kernel body (python-specialized on static config).
+
+    `has_planes`/`has_spheres` statically elide whole primitive kinds
+    (empty kinds carry only a never-hit padding row — soa.py); an opaque
+    scene (not any_transp) replaces every shadow march with a single
+    any-hit occlusion query (one occluder saturates the accumulated
+    opacity, shading.hpp:22-45)."""
     n_words = -(-m // 32)  # packed cull-mask words per tile
+    opaque = not any_transp
 
     def kernel(hits_ref, rays_ref, *rest):
         n_tab = len(_TABLE_NAMES)
@@ -245,15 +253,26 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
         def norm3(x, y, z):
             return jnp.sqrt(x * x + y * y + z * z)
 
-        def cast(cox, coy, coz, cdx, cdy, cdz, mind, full, primary):
+        def cast(cox, coy, coz, cdx, cdy, cdz, mind, full, primary,
+                 ldist=None):
             """Nearest hit over all kinds. Results land in bt_s (t) and
             at_s (winner attrs); returns nothing. `full` selects all attr
             columns vs obj+transparency only; `primary` uses the prefetch
-            cull bitmask, secondaries the in-kernel one."""
-            bt_s[:] = jnp.full((tile_r, 1), inf, jnp.float32)
-            bk_s[:] = jnp.full((tile_r, 1), _BIG, jnp.int32)
-            at_s[:] = jnp.zeros((tile_r, 16), jnp.float32)
-            at_s[:, _A_OBJ:_A_OBJ + 1] = jnp.full((tile_r, 1), _BIGF)
+            cull bitmask, secondaries the in-kernel one.
+
+            `ldist` switches to an any-hit OCCLUSION query (opaque-scene
+            shadows): only "does any valid t in (mind, ldist) exist" is
+            computed — bt_s becomes a per-ray 0/1 flag, and all winner
+            bookkeeping (min-reductions, tie-break keys, one-hot attr
+            accumulation) is elided."""
+            occl = ldist is not None
+            if occl:
+                bt_s[:] = jnp.zeros((tile_r, 1), jnp.float32)
+            else:
+                bt_s[:] = jnp.full((tile_r, 1), inf, jnp.float32)
+                bk_s[:] = jnp.full((tile_r, 1), _BIG, jnp.int32)
+                at_s[:] = jnp.zeros((tile_r, 16), jnp.float32)
+                at_s[:, _A_OBJ:_A_OBJ + 1] = jnp.full((tile_r, 1), _BIGF)
 
             attr_cols = _TRI_ATTRS if full else _TRI_ATTRS_SHADOW
             # w = d x o (per ray)
@@ -286,8 +305,13 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 lz, hz = axis_minmax(bmnz, bmxz, coz, cdz)
                 tmn = jnp.maximum(jnp.maximum(lx, ly), jnp.maximum(lz, 0.0))
                 tmx = jnp.minimum(jnp.minimum(hx, hy), hz)
+                cond = tmn <= tmx
+                if occl:
+                    # occlusion query: clusters entirely beyond the light
+                    # can't occlude it
+                    cond &= tmn < ldist
                 anyhit = jnp.max(
-                    jnp.where(tmn <= tmx, 1.0, 0.0), axis=0, keepdims=True
+                    jnp.where(cond, 1.0, 0.0), axis=0, keepdims=True
                 )  # (1, M)
                 # pack the M-bit mask into one int32 scalar (one
                 # vector->scalar sync; requires M <= 31 — enforced by the
@@ -340,6 +364,13 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                         & (t > mind)
                         & (col("valid") > 0.0)
                     )
+                    if occl:
+                        occ = jnp.max(
+                            jnp.where(ok & (t < ldist), 1.0, 0.0),
+                            axis=1, keepdims=True,
+                        )
+                        bt_s[:] = jnp.maximum(bt_s[:], occ)
+                        return
                     t = jnp.where(ok, t, inf)
 
                     tmin = jnp.min(t, axis=1, keepdims=True)  # (tile_r, 1)
@@ -405,50 +436,71 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     )
                 bt_s[:] = jnp.where(better, tmin, best_t)
 
-            # planes (default_schema.hpp:189-201)
-            pnx = plane_ref[_A_NX:_A_NX + 1, :]
-            pny = plane_ref[_A_NY:_A_NY + 1, :]
-            pnz = plane_ref[_A_NZ:_A_NZ + 1, :]
-            kp = plane_ref[_ROW_KP:_ROW_KP + 1, :]
-            pvalid = plane_ref[_ROW_VALID:_ROW_VALID + 1, :]
-            denom = cdx * pnx + cdy * pny + cdz * pnz  # (tile_r, P)
-            on = cox * pnx + coy * pny + coz * pnz
-            tp = (kp - on) / jnp.where(denom == 0.0, 1.0, denom)
-            okp = (
-                (denom != 0.0) & jnp.isfinite(tp) & (tp > mind)
-                & (pvalid > 0.0)
-            )
-            merge_kind(plane_ref, n_pl, tp, okp)
+            if has_planes:
+                # planes (default_schema.hpp:189-201)
+                pnx = plane_ref[_A_NX:_A_NX + 1, :]
+                pny = plane_ref[_A_NY:_A_NY + 1, :]
+                pnz = plane_ref[_A_NZ:_A_NZ + 1, :]
+                kp = plane_ref[_ROW_KP:_ROW_KP + 1, :]
+                pvalid = plane_ref[_ROW_VALID:_ROW_VALID + 1, :]
+                denom = cdx * pnx + cdy * pny + cdz * pnz  # (tile_r, P)
+                on = cox * pnx + coy * pny + coz * pnz
+                tp = (kp - on) / jnp.where(denom == 0.0, 1.0, denom)
+                okp = (
+                    (denom != 0.0) & jnp.isfinite(tp) & (tp > mind)
+                    & (pvalid > 0.0)
+                )
+                if occl:
+                    occ = jnp.max(
+                        jnp.where(okp & (tp < ldist), 1.0, 0.0),
+                        axis=1, keepdims=True,
+                    )
+                    bt_s[:] = jnp.maximum(bt_s[:], occ)
+                else:
+                    merge_kind(plane_ref, n_pl, tp, okp)
 
-            # spheres (default_schema.hpp:226-251): t parametric w.r.t. the
-            # NORMALIZED direction (reference quirk)
+            # normalized direction: spheres are parametric w.r.t. it
+            # (reference quirk, default_schema.hpp:226-251) and shading
+            # needs it regardless of sphere presence
             dlen = norm3(cdx, cdy, cdz)
             ndx, ndy, ndz = cdx / dlen, cdy / dlen, cdz / dlen
-            scx = sphere_ref[_A_CX:_A_CX + 1, :]
-            scy = sphere_ref[_A_CY:_A_CY + 1, :]
-            scz = sphere_ref[_A_CZ:_A_CZ + 1, :]
-            r2 = sphere_ref[_ROW_R2:_ROW_R2 + 1, :]
-            svalid = sphere_ref[_ROW_VALID:_ROW_VALID + 1, :]
-            dec = (ndx * scx + ndy * scy + ndz * scz) - (
-                ndx * cox + ndy * coy + ndz * coz
-            )
-            oc = cox * scx + coy * scy + coz * scz
-            ec2 = (cox * cox + coy * coy + coz * coz) - 2.0 * oc + (
-                scx * scx + scy * scy + scz * scz
-            )
-            sub = dec * dec - (ec2 - r2)
-            missed = sub <= 0.0
-            sq = jnp.sqrt(jnp.where(missed, 1.0, sub))
-            t0 = dec - sq
-            t1 = dec + sq
-            v0 = ~missed & jnp.isfinite(t0) & (t0 > mind)
-            v1 = ~missed & jnp.isfinite(t1) & (t1 > mind)
-            ts = jnp.where(
-                v0 & v1, jnp.minimum(t0, t1),
-                jnp.where(v0, t0, jnp.where(v1, t1, inf)),
-            )
-            oks = (v0 | v1) & (svalid > 0.0)
-            merge_kind(sphere_ref, n_sp, ts, oks)
+
+            if has_spheres:
+                scx = sphere_ref[_A_CX:_A_CX + 1, :]
+                scy = sphere_ref[_A_CY:_A_CY + 1, :]
+                scz = sphere_ref[_A_CZ:_A_CZ + 1, :]
+                r2 = sphere_ref[_ROW_R2:_ROW_R2 + 1, :]
+                svalid = sphere_ref[_ROW_VALID:_ROW_VALID + 1, :]
+                dec = (ndx * scx + ndy * scy + ndz * scz) - (
+                    ndx * cox + ndy * coy + ndz * coz
+                )
+                oc = cox * scx + coy * scy + coz * scz
+                ec2 = (cox * cox + coy * coy + coz * coz) - 2.0 * oc + (
+                    scx * scx + scy * scy + scz * scz
+                )
+                sub = dec * dec - (ec2 - r2)
+                missed = sub <= 0.0
+                sq = jnp.sqrt(jnp.where(missed, 1.0, sub))
+                t0 = dec - sq
+                t1 = dec + sq
+                v0 = ~missed & jnp.isfinite(t0) & (t0 > mind)
+                v1 = ~missed & jnp.isfinite(t1) & (t1 > mind)
+                ts = jnp.where(
+                    v0 & v1, jnp.minimum(t0, t1),
+                    jnp.where(v0, t0, jnp.where(v1, t1, inf)),
+                )
+                oks = (v0 | v1) & (svalid > 0.0)
+                if occl:
+                    # the march compares the winner t directly against
+                    # light_dist (shadow dirs are unit length, so the
+                    # sphere's normalized-dir parametrization coincides)
+                    occ = jnp.max(
+                        jnp.where(oks & (ts < ldist), 1.0, 0.0),
+                        axis=1, keepdims=True,
+                    )
+                    bt_s[:] = jnp.maximum(bt_s[:], occ)
+                else:
+                    merge_kind(sphere_ref, n_sp, ts, oks)
 
             return ndx, ndy, ndz
 
@@ -538,23 +590,32 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 sdx, sdy, sdz = dirx / dl, diry / dl, dirz / dl
 
                 # shadow march (shading.hpp:22-45)
-                def step_body(si, carry):
-                    sh, last, act = carry
-                    cast(px, py, pz, sdx, sdy, sdz, last + 1e-3,
-                         full=False, primary=False)
-                    st = bt_s[:]
-                    stransp = at_s[:, _A_TRANSP:_A_TRANSP + 1]
-                    okm = act & jnp.isfinite(st) & (st < light_dist)
-                    sh = sh + jnp.where(okm, 1.0 - stransp, 0.0)
-                    last = jnp.where(okm, st, last)
-                    return sh, last, okm & (sh < 1.0)
+                if opaque:
+                    # every occluder contributes full opacity, so ONE
+                    # any-hit occlusion query decides the march
+                    cast(px, py, pz, sdx, sdy, sdz,
+                         jnp.zeros((tile_r, 1), jnp.float32) + 1e-3,
+                         full=False, primary=False, ldist=light_dist)
+                    occ = hit & (bt_s[:] > 0.0)
+                    sh = jnp.where(occ, 1.0, 0.0)
+                else:
+                    def step_body(si, carry):
+                        sh, last, act = carry
+                        cast(px, py, pz, sdx, sdy, sdz, last + 1e-3,
+                             full=False, primary=False)
+                        st = bt_s[:]
+                        stransp = at_s[:, _A_TRANSP:_A_TRANSP + 1]
+                        okm = act & jnp.isfinite(st) & (st < light_dist)
+                        sh = sh + jnp.where(okm, 1.0 - stransp, 0.0)
+                        last = jnp.where(okm, st, last)
+                        return sh, last, okm & (sh < 1.0)
 
-                sh, _, _ = jax.lax.fori_loop(
-                    0, shadow_steps, step_body,
-                    (jnp.zeros((tile_r, 1), jnp.float32),
-                     jnp.zeros((tile_r, 1), jnp.float32), hit),
-                )
-                sh = jnp.where(sh >= 1.0, 1.0, sh)
+                    sh, _, _ = jax.lax.fori_loop(
+                        0, shadow_steps, step_body,
+                        (jnp.zeros((tile_r, 1), jnp.float32),
+                         jnp.zeros((tile_r, 1), jnp.float32), hit),
+                    )
+                    sh = jnp.where(sh >= 1.0, 1.0, sh)
                 lit = sh < 1.0
 
                 fd = jnp.maximum(0.0, nnx * sdx + nny * sdy + nnz * sdz)
@@ -660,11 +721,13 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
 @functools.partial(
     jax.jit,
     static_argnames=("bounces", "shadow_steps", "any_refl", "any_transp",
-                     "n_lights", "interpret", "tile_r", "secondary_cull"),
+                     "n_lights", "interpret", "tile_r", "secondary_cull",
+                     "has_planes", "has_spheres"),
 )
 def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
                bounces, shadow_steps, any_refl, any_transp, n_lights,
-               interpret, tile_r=TILE_R, secondary_cull=True):
+               interpret, tile_r=TILE_R, secondary_cull=True,
+               has_planes=True, has_spheres=True):
     m, c = tables["k"].shape
     n_pl = plane.shape[1]
     n_sp = sphere.shape[1]
@@ -674,6 +737,7 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
     kernel = _make_kernel(
         m, n_pl, n_sp, n_lights, bounces, shadow_steps,
         any_refl, any_transp, tile_r, secondary_cull,
+        has_planes, has_spheres,
     )
 
     const = lambda shape: pl.BlockSpec(shape, lambda i, s: (0, 0),
@@ -780,7 +844,8 @@ def _fused_forward(soa, accel, o, d, fudge, bounces):
         n_lights=soa.n_lights, interpret=accel.interpret,
         # the one-word bitmask cull needs M <= 31 bits; larger partitions
         # run secondary casts dense
-        secondary_cull=m <= 31,
+        secondary_cull=m <= 31, tile_r=tile_r,
+        has_planes=soa.n_planes > 0, has_spheres=soa.n_spheres > 0,
     )[:r]
     return out[:, 0:3], out[:, 3], out[:, 4:7]
 

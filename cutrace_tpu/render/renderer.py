@@ -70,7 +70,14 @@ def prepare(scene_or_soa, accel: str = "auto") -> PreparedScene:
 
     if accel not in ("clusters", "pallas", "fused"):
         raise ValueError(f"unknown accel {accel!r}")
-    return PreparedScene(soa=soa, accel=bvh.build_accel(soa, kind=accel))
+    # The fused kernel's cluster loop is lane-limited: C=128 fills the
+    # 128-wide VPU tiles exactly (C=64 wastes half of every vector op),
+    # and the coarser cull granularity costs less than it saves
+    # (measured: 2910 -> 2555 ms on bunny 1080p b5).
+    size = 128 if accel == "fused" else bvh.CLUSTER_SIZE
+    return PreparedScene(
+        soa=soa, accel=bvh.build_accel(soa, cluster_size=size, kind=accel)
+    )
 
 
 def camera_rays(soa: SceneArrays, px, py):

@@ -118,6 +118,11 @@ class SceneArrays:
     # Upper bound on shadow-march steps (shading.hpp:22-45). With no
     # transparent materials one occluder saturates the march.
     shadow_steps: int = dataclasses.field(metadata=dict(static=True))
+    # Real (non-padding) primitive counts per kind: empty kinds keep a
+    # 1-row sentinel buffer for static shapes, and kernels statically skip
+    # the whole kind when the count is 0 (the padding row can never hit).
+    n_planes: int = dataclasses.field(default=0, metadata=dict(static=True))
+    n_spheres: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 # Padding sentinels for empty primitive kinds: *finite* geometry parked far
@@ -297,4 +302,6 @@ def scene_to_soa(scene: T.Scene, shadow_steps: int = 16) -> SceneArrays:
         any_reflective=any_reflective,
         any_transparent=any_transparent,
         shadow_steps=min(max(exact_steps, 1), shadow_steps),
+        n_planes=len(plp),
+        n_spheres=len(spc),
     )
