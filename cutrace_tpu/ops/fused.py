@@ -714,6 +714,486 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
 
 
 # --------------------------------------------------------------------------
+# transposed kernel: rays on LANES (the fast path for small cluster counts)
+# --------------------------------------------------------------------------
+#
+# The sublane-layout kernel above keeps per-ray data as (tile_r, 1) columns.
+# On TPU a (512, 1) f32 occupies 64 (8, 128) vregs with ONE valid lane each,
+# so every per-ray op (phong, shadow setup, slab tests, spawn math) costs as
+# much as a full (512, 128) tile op at <1 % utilization. This variant puts
+# rays on lanes instead: per-ray data is (1, tile_r) (4 vregs for 512 rays),
+# per-(triangle, ray) tiles are (C, tile_r) with the cluster's triangles on
+# SUBLANES, and reductions run across sublanes. The dense triangle math is
+# the same vector volume as before — everything else collapses to ~1/16th.
+#
+# The price: per-cluster constants must be (C, 1) column slices of the
+# transposed (C, M) tables, and Mosaic cannot dynamically index the lane
+# dimension — so the cluster loop is STATICALLY UNROLLED over M. That bounds
+# this kernel to M <= _LANES_MAX_M clusters (<= 4k triangles at C=128);
+# bigger partitions fall back to the sublane kernel above.
+
+_LANES_MAX_M = 31  # bits of one int32 cull word (bit 31 = sign)
+
+
+def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
+                       any_refl, any_transp, tile_r,
+                       has_planes, has_spheres):
+    """Rays-on-lanes kernel body (see block comment above). Operand
+    layouts: rays/out (8, tile_r); triangle tables (C, M); aabb (M, 8);
+    plane/sphere tables (P|S, 24)."""
+    n_words = -(-m // 32)  # packed cull-mask words per tile
+    opaque = not any_transp
+
+    def kernel(hits_ref, rays_ref, *rest):
+        n_tab = len(_TABLE_NAMES)
+        tabs = dict(zip(_TABLE_NAMES, rest[:n_tab]))
+        (aabb_ref, plane_ref, sphere_ref, lights_ref, scal_ref,
+         out_ref, bt_s, bk_s, at_s, bits_s) = rest[n_tab:]
+
+        i = pl.program_id(0)
+        ambient = scal_ref[0, 0]
+        fudge = scal_ref[0, 1]
+
+        ox = rays_ref[0:1, :]
+        oy = rays_ref[1:2, :]
+        oz = rays_ref[2:3, :]
+        dx = rays_ref[3:4, :]
+        dy = rays_ref[4:5, :]
+        dz = rays_ref[5:6, :]
+        mind0 = rays_ref[6:7, :]
+
+        inf = jnp.float32(jnp.inf)
+
+        def norm3(x, y, z):
+            return jnp.sqrt(x * x + y * y + z * z)
+
+        def at(j):  # (1, tile_r) attribute row
+            return at_s[j:j + 1, :]
+
+        def cast(cox, coy, coz, cdx, cdy, cdz, mind, full, primary,
+                 ldist=None):
+            """Nearest hit over all kinds (rays-on-lanes layout). Winner t
+            lands in bt_s (1, R), attrs in at_s (16, R). `ldist` switches
+            to the any-hit occlusion query (see the sublane kernel)."""
+            occl = ldist is not None
+            if occl:
+                bt_s[:] = jnp.zeros((1, tile_r), jnp.float32)
+            else:
+                bt_s[:] = jnp.full((1, tile_r), inf, jnp.float32)
+                bk_s[:] = jnp.full((1, tile_r), _BIGF, jnp.float32)
+                at_s[:] = jnp.zeros((16, tile_r), jnp.float32)
+                at_s[_A_OBJ:_A_OBJ + 1, :] = jnp.full(
+                    (1, tile_r), _BIGF
+                )
+
+            attr_cols = _TRI_ATTRS if full else _TRI_ATTRS_SHADOW
+            # w = d x o (per ray)
+            wx = cdy * coz - cdz * coy
+            wy = cdz * cox - cdx * coz
+            wz = cdx * coy - cdy * cox
+
+            if not primary:
+                # in-kernel cull: slab test with clusters on SUBLANES —
+                # (M, R) tiles are M/8 x R/128 vregs (tiny). One
+                # vector->scalar sync packs the M-bit mask into SMEM.
+                bmnx = aabb_ref[:, 0:1]
+                bmny = aabb_ref[:, 1:2]
+                bmnz = aabb_ref[:, 2:3]
+                bmxx = aabb_ref[:, 3:4]
+                bmxy = aabb_ref[:, 4:5]
+                bmxz = aabb_ref[:, 5:6]
+
+                def axis_minmax(bmn, bmx, o1, d1):
+                    innv = 1.0 / d1  # +-inf on zero components
+                    t1 = (bmn - o1) * innv  # (M, R)
+                    t2 = (bmx - o1) * innv
+                    lo = jnp.minimum(t1, t2)
+                    hi = jnp.maximum(t1, t2)
+                    lo = jnp.where(jnp.isnan(lo), 0.0, lo)
+                    hi = jnp.where(jnp.isnan(hi), inf, hi)
+                    return lo, hi
+
+                lx, hx = axis_minmax(bmnx, bmxx, cox, cdx)
+                ly, hy = axis_minmax(bmny, bmxy, coy, cdy)
+                lz, hz = axis_minmax(bmnz, bmxz, coz, cdz)
+                tmn = jnp.maximum(jnp.maximum(lx, ly), jnp.maximum(lz, 0.0))
+                tmx = jnp.minimum(jnp.minimum(hx, hy), hz)
+                cond = tmn <= tmx
+                if occl:
+                    cond &= tmn < ldist
+                anyhit = jnp.max(
+                    jnp.where(cond, 1.0, 0.0), axis=1, keepdims=True
+                )  # (M, 1)
+                # pack the per-SUBLANE mask into one int32 (two exact
+                # 16-bit halves, M <= 31)
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (m, 1), 0
+                ).astype(jnp.float32)
+                lo16 = jnp.sum(
+                    jnp.where(lane < 16.0, anyhit * jnp.exp2(lane), 0.0)
+                )
+                hi16 = jnp.sum(
+                    jnp.where(lane >= 16.0, anyhit * jnp.exp2(lane - 16.0),
+                              0.0)
+                )
+                bits_s[0] = (
+                    lo16.astype(jnp.int32)
+                    + (hi16.astype(jnp.int32) << 16)
+                )
+
+            for mi in range(m):  # static unroll: constants are lane slices
+                def visit(mi=mi):
+                    col = lambda name: tabs[name][:, mi:mi + 1]  # (C, 1)
+                    n0, n1, n2 = col("n0"), col("n1"), col("n2")
+                    alpha = cdx * n0 + cdy * n1 + cdz * n2  # (C, R)
+                    beta_n = (
+                        cdx * col("ub0") + cdy * col("ub1") + cdz * col("ub2")
+                        - (wx * col("b0") + wy * col("b1") + wz * col("b2"))
+                    )
+                    gamma_n = (
+                        wx * col("a0") + wy * col("a1") + wz * col("a2")
+                        - (cdx * col("ug0") + cdy * col("ug1")
+                           + cdz * col("ug2"))
+                    )
+                    t_n = col("k") - (cox * n0 + coy * n1 + coz * n2)
+
+                    degenerate = alpha == 0.0
+                    inv = 1.0 / jnp.where(degenerate, 1.0, alpha)
+                    beta = beta_n * inv
+                    gamma = gamma_n * inv
+                    t = t_n * inv
+                    ok = (
+                        (~degenerate)
+                        & (beta >= 0.0)
+                        & (gamma >= 0.0)
+                        & (beta + gamma <= 1.0)
+                        & jnp.isfinite(t)
+                        & (t > mind)
+                        & (col("valid") > 0.0)
+                    )
+                    if occl:
+                        occ = jnp.max(
+                            jnp.where(ok & (t < ldist), 1.0, 0.0),
+                            axis=0, keepdims=True,
+                        )
+                        bt_s[:] = jnp.maximum(bt_s[:], occ)
+                        return
+                    t = jnp.where(ok, t, inf)
+
+                    tmin = jnp.min(t, axis=0, keepdims=True)  # (1, R)
+                    key = jnp.where(t == tmin, col("order"), _BIGF)
+                    kmin = jnp.min(key, axis=0, keepdims=True)
+                    kmin = jnp.where(jnp.isfinite(tmin), kmin, _BIGF)
+
+                    best_t = bt_s[:]
+                    best_k = bk_s[:]
+                    better = (tmin < best_t) | (
+                        (tmin == best_t) & (kmin < best_k)
+                    )
+                    oneh = ((t == tmin) & (key == kmin)).astype(jnp.float32)
+                    for name, j in attr_cols:
+                        val = jnp.sum(oneh * col(name), axis=0,
+                                      keepdims=True)
+                        at_s[j:j + 1, :] = jnp.where(
+                            better, val, at_s[j:j + 1, :]
+                        )
+                    bt_s[:] = jnp.where(better, tmin, best_t)
+                    bk_s[:] = jnp.where(better, kmin, best_k)
+
+                if primary:
+                    word = hits_ref[i * n_words + mi // 32]
+                    @pl.when(((word >> (mi % 32)) & 1) != 0)
+                    def _():
+                        visit()
+                else:
+                    @pl.when(((bits_s[0] >> mi) & 1) != 0)
+                    def _():
+                        visit()
+
+            def merge_kind(tab_ref, n, t, ok):
+                """Cross-kind merge by (t, scene obj); kinds on sublanes."""
+                t = jnp.where(ok, t, inf)
+                tmin = jnp.min(t, axis=0, keepdims=True)
+                row_obj = tab_ref[:, _A_OBJ:_A_OBJ + 1]  # (n, 1)
+                key = jnp.where(t == tmin, row_obj, _BIGF)
+                kmin = jnp.min(key, axis=0, keepdims=True)
+                kmin = jnp.where(jnp.isfinite(tmin), kmin, _BIGF)
+                best_t = bt_s[:]
+                best_obj = at(_A_OBJ)
+                better = (tmin < best_t) | (
+                    (tmin == best_t) & (kmin < best_obj)
+                )
+                oneh = ((t == tmin) & (key == kmin)).astype(jnp.float32)
+                cols = range(15) if full else (_A_OBJ, _A_TRANSP)
+                for j in cols:
+                    val = jnp.sum(oneh * tab_ref[:, j:j + 1], axis=0,
+                                  keepdims=True)
+                    at_s[j:j + 1, :] = jnp.where(
+                        better, val, at_s[j:j + 1, :]
+                    )
+                bt_s[:] = jnp.where(better, tmin, best_t)
+
+            if has_planes:
+                # planes (default_schema.hpp:189-201), planes on sublanes
+                pnx = plane_ref[:, _A_NX:_A_NX + 1]
+                pny = plane_ref[:, _A_NY:_A_NY + 1]
+                pnz = plane_ref[:, _A_NZ:_A_NZ + 1]
+                kp = plane_ref[:, _ROW_KP:_ROW_KP + 1]
+                pvalid = plane_ref[:, _ROW_VALID:_ROW_VALID + 1]
+                denom = cdx * pnx + cdy * pny + cdz * pnz  # (P, R)
+                on = cox * pnx + coy * pny + coz * pnz
+                tp = (kp - on) / jnp.where(denom == 0.0, 1.0, denom)
+                okp = (
+                    (denom != 0.0) & jnp.isfinite(tp) & (tp > mind)
+                    & (pvalid > 0.0)
+                )
+                if occl:
+                    occ = jnp.max(
+                        jnp.where(okp & (tp < ldist), 1.0, 0.0),
+                        axis=0, keepdims=True,
+                    )
+                    bt_s[:] = jnp.maximum(bt_s[:], occ)
+                else:
+                    merge_kind(plane_ref, n_pl, tp, okp)
+
+            dlen = norm3(cdx, cdy, cdz)
+            ndx, ndy, ndz = cdx / dlen, cdy / dlen, cdz / dlen
+
+            if has_spheres:
+                # spheres (default_schema.hpp:226-251): t parametric w.r.t.
+                # the NORMALIZED direction (reference quirk)
+                scx = sphere_ref[:, _A_CX:_A_CX + 1]
+                scy = sphere_ref[:, _A_CY:_A_CY + 1]
+                scz = sphere_ref[:, _A_CZ:_A_CZ + 1]
+                r2 = sphere_ref[:, _ROW_R2:_ROW_R2 + 1]
+                svalid = sphere_ref[:, _ROW_VALID:_ROW_VALID + 1]
+                dec = (ndx * scx + ndy * scy + ndz * scz) - (
+                    ndx * cox + ndy * coy + ndz * coz
+                )
+                oc = cox * scx + coy * scy + coz * scz
+                ec2 = (cox * cox + coy * coy + coz * coz) - 2.0 * oc + (
+                    scx * scx + scy * scy + scz * scz
+                )
+                sub = dec * dec - (ec2 - r2)
+                missed = sub <= 0.0
+                sq = jnp.sqrt(jnp.where(missed, 1.0, sub))
+                t0 = dec - sq
+                t1 = dec + sq
+                v0 = ~missed & jnp.isfinite(t0) & (t0 > mind)
+                v1 = ~missed & jnp.isfinite(t1) & (t1 > mind)
+                ts = jnp.where(
+                    v0 & v1, jnp.minimum(t0, t1),
+                    jnp.where(v0, t0, jnp.where(v1, t1, inf)),
+                )
+                oks = (v0 | v1) & (svalid > 0.0)
+                if occl:
+                    occ = jnp.max(
+                        jnp.where(oks & (ts < ldist), 1.0, 0.0),
+                        axis=0, keepdims=True,
+                    )
+                    bt_s[:] = jnp.maximum(bt_s[:], occ)
+                else:
+                    merge_kind(sphere_ref, n_sp, ts, oks)
+
+            return ndx, ndy, ndz
+
+        def shade(o3, d3, nd3, level_first):
+            """Phong + shadows for the current winner (shading.hpp:64-99);
+            all per-ray math on (1, R) rows."""
+            cox, coy, coz = o3
+            cdx, cdy, cdz = d3
+            ndx, ndy, ndz = nd3
+            bt = bt_s[:]
+            hit = jnp.isfinite(bt)
+            t_safe = jnp.where(hit, bt, 1.0)
+            is_sph = at(_A_SPH) > 0.5
+            px = cox + t_safe * jnp.where(is_sph, ndx, cdx)
+            py = coy + t_safe * jnp.where(is_sph, ndy, cdy)
+            pz = coz + t_safe * jnp.where(is_sph, ndz, cdz)
+            sx = px - at(_A_CX)
+            sy = py - at(_A_CY)
+            sz = pz - at(_A_CZ)
+            sl = norm3(sx, sy, sz)
+            sl = jnp.where(sl == 0.0, 1.0, sl)
+            rnx = jnp.where(is_sph, sx / sl, at(_A_NX))
+            rny = jnp.where(is_sph, sy / sl, at(_A_NY))
+            rnz = jnp.where(is_sph, sz / sl, at(_A_NZ))
+
+            if level_first:
+                out_ref[3:4, :] = bt  # depth (+inf on miss)
+                zero = jnp.zeros((1, tile_r), jnp.float32)
+                out_ref[4:5, :] = jnp.where(hit, rnx, zero)
+                out_ref[5:6, :] = jnp.where(hit, rny, zero)
+                out_ref[6:7, :] = jnp.where(hit, rnz, zero)
+
+            gx = jnp.where(hit, rnx, 0.0)
+            gy = jnp.where(hit, rny, 0.0)
+            gz = jnp.where(hit, rnz, 1.0)
+            gl = norm3(gx, gy, gz)
+            gl = jnp.where(gl == 0.0, 1.0, gl)
+            nnx, nny, nnz = gx / gl, gy / gl, gz / gl
+
+            difr = at(_A_CR)
+            difg = at(_A_CG)
+            difb = at(_A_CB)
+            spec = at(_A_SPEC)
+            phong_e = at(_A_PHONG)
+            mdx, mdy, mdz = -ndx, -ndy, -ndz
+
+            accr = ambient * difr
+            accg = ambient * difg
+            accb = ambient * difb
+
+            def light_body(li, acc):
+                accr, accg, accb = acc
+                kind = lights_ref[li, 0]
+                vx = lights_ref[li, 1]
+                vy = lights_ref[li, 2]
+                vz = lights_ref[li, 3]
+                lcr = lights_ref[li, 4]
+                lcg = lights_ref[li, 5]
+                lcb = lights_ref[li, 6]
+                is_sun = kind == 0.0
+                dfx = vx - px
+                dfy = vy - py
+                dfz = vz - pz
+                dist = norm3(dfx, dfy, dfz)
+                dsafe = jnp.where(dist == 0.0, 1.0, dist)
+                dirx = jnp.where(is_sun, -vx, dfx / dsafe)
+                diry = jnp.where(is_sun, -vy, dfy / dsafe)
+                dirz = jnp.where(is_sun, -vz, dfz / dsafe)
+                distance = jnp.where(is_sun, inf, dist)
+                dl = norm3(dirx, diry, dirz)
+                light_dist = distance * dl  # shading.hpp:80
+                dl = jnp.where(dl == 0.0, 1.0, dl)
+                sdx, sdy, sdz = dirx / dl, diry / dl, dirz / dl
+
+                # shadow march (shading.hpp:22-45)
+                if opaque:
+                    cast(px, py, pz, sdx, sdy, sdz,
+                         jnp.zeros((1, tile_r), jnp.float32) + 1e-3,
+                         full=False, primary=False, ldist=light_dist)
+                    occ = hit & (bt_s[:] > 0.0)
+                    sh = jnp.where(occ, 1.0, 0.0)
+                else:
+                    def step_body(si, carry):
+                        sh, last, act = carry
+                        cast(px, py, pz, sdx, sdy, sdz, last + 1e-3,
+                             full=False, primary=False)
+                        st = bt_s[:]
+                        stransp = at(_A_TRANSP)
+                        okm = act & jnp.isfinite(st) & (st < light_dist)
+                        sh = sh + jnp.where(okm, 1.0 - stransp, 0.0)
+                        last = jnp.where(okm, st, last)
+                        return sh, last, okm & (sh < 1.0)
+
+                    sh, _, _ = jax.lax.fori_loop(
+                        0, shadow_steps, step_body,
+                        (jnp.zeros((1, tile_r), jnp.float32),
+                         jnp.zeros((1, tile_r), jnp.float32), hit),
+                    )
+                    sh = jnp.where(sh >= 1.0, 1.0, sh)
+                lit = sh < 1.0
+
+                fd = jnp.maximum(0.0, nnx * sdx + nny * sdy + nnz * sdz)
+                hvx, hvy, hvz = mdx + sdx, mdy + sdy, mdz + sdz
+                hl = norm3(hvx, hvy, hvz)
+                hl = jnp.where(hl == 0.0, 1.0, hl)
+                base = jnp.maximum(
+                    0.0, (nnx * hvx + nny * hvy + nnz * hvz) / hl
+                )
+                backf = base <= 0.0
+                fs = jnp.where(
+                    backf, 0.0,
+                    jnp.exp(phong_e * jnp.log(jnp.where(backf, 1.0, base))),
+                )
+                wgt = jnp.where(lit, 1.0 - sh, 0.0)
+                accr = accr + wgt * (fd * difr + fs * spec * difr) * lcr
+                accg = accg + wgt * (fd * difg + fs * spec * difg) * lcg
+                accb = accb + wgt * (fd * difb + fs * spec * difb) * lcb
+                return accr, accg, accb
+
+            accr, accg, accb = jax.lax.fori_loop(
+                0, n_lights, light_body, (accr, accg, accb)
+            )
+
+            ph = (
+                jnp.where(hit, accr, 0.0),
+                jnp.where(hit, accg, 0.0),
+                jnp.where(hit, accb, 0.0),
+            )
+            # winner attrs needed by the spawn logic, read BEFORE the
+            # shadow casts clobbered at_s? No: shade() runs after its own
+            # full cast and the occlusion casts touch only bt_s (opaque)
+            # or are re-read per step (march); but the march DOES clobber
+            # at_s in the non-opaque path, so capture the spawn columns
+            # here from the values loaded above.
+            return ph, hit, t_safe, (nnx, nny, nnz)
+
+        # ---- bounce tree, statically unrolled (render/shading.py) ----
+        crr = jnp.zeros((1, tile_r), jnp.float32)
+        crg = jnp.zeros((1, tile_r), jnp.float32)
+        crb = jnp.zeros((1, tile_r), jnp.float32)
+        ones = jnp.ones((1, tile_r), jnp.float32)
+        nodes = [((ox, oy, oz), (dx, dy, dz), ones, mind0)]
+
+        for level in range(bounces + 1):
+            last = level == bounces or not (any_refl or any_transp)
+            new_nodes = []
+            for node_i, (o3, d3, w, mind) in enumerate(nodes):
+                nd3 = cast(*o3, *d3, mind, full=True,
+                           primary=(level == 0 and node_i == 0))
+                # capture spawn-relevant winner attrs BEFORE the shadow
+                # casts inside shade() overwrite at_s (non-opaque path)
+                a_transp = at(_A_TRANSP)
+                a_refl = at(_A_REFL)
+                ph, hit, t_safe, nn3 = shade(
+                    o3, d3, nd3, level_first=(level == 0 and node_i == 0)
+                )
+                if last:
+                    crr = crr + w * ph[0]
+                    crg = crg + w * ph[1]
+                    crb = crb + w * ph[2]
+                    continue
+                if any_transp:
+                    f = jnp.where(hit & (a_transp >= _EPS), a_transp, 0.0)
+                else:
+                    f = jnp.zeros((1, tile_r), jnp.float32)
+                weff = w * (1.0 - f)
+                crr = crr + weff * ph[0]
+                crg = crg + weff * ph[1]
+                crb = crb + weff * ph[2]
+                chx = o3[0] + t_safe * d3[0]
+                chy = o3[1] + t_safe * d3[1]
+                chz = o3[2] + t_safe * d3[2]
+                fmin = jnp.full((1, tile_r), 0.0, jnp.float32) + fudge
+                if any_refl:
+                    r = jnp.where(hit & (a_refl >= _EPS), a_refl, 0.0)
+                    nnx, nny, nnz = nn3
+                    ndx, ndy, ndz = nd3
+                    dot = ndx * nnx + ndy * nny + ndz * nnz
+                    rdx = ndx - 2.0 * dot * nnx
+                    rdy = ndy - 2.0 * dot * nny
+                    rdz = ndz - 2.0 * dot * nnz
+                    new_nodes.append(
+                        (((chx, chy, chz)), (rdx, rdy, rdz),
+                         w * (1.0 - f) * r, fmin)
+                    )
+                if any_transp:
+                    new_nodes.append(((chx, chy, chz), d3, w * f, fmin))
+            nodes = new_nodes
+            if not nodes:
+                break
+
+        out_ref[0:1, :] = crr
+        out_ref[1:2, :] = crg
+        out_ref[2:3, :] = crb
+        out_ref[7:8, :] = jnp.zeros((1, tile_r), jnp.float32)
+
+    return kernel
+
+
+# --------------------------------------------------------------------------
 # host wrapper
 # --------------------------------------------------------------------------
 
@@ -734,16 +1214,58 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
     r_pad = rays.shape[0]
     n_tiles = r_pad // tile_r
 
+    const = lambda shape: pl.BlockSpec(shape, lambda i, s: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    smem = lambda shape: pl.BlockSpec(shape, lambda i, s: (0, 0),
+                                      memory_space=pltpu.SMEM)
+    # The unrolled cast chain keeps several (tile_r, C) temporaries live
+    # per cast site; the default 16 MiB scoped-VMEM budget is far below
+    # the v5e's physical VMEM. Raise it for this kernel.
+    try:
+        params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    except TypeError:  # older pallas without the knob
+        params = None
+
+    if m <= _LANES_MAX_M and tile_r % 128 == 0:
+        # fast path: rays-on-lanes kernel, cluster loop statically unrolled
+        kernel = _make_kernel_lanes(
+            m, n_pl, n_sp, n_lights, bounces, shadow_steps,
+            any_refl, any_transp, tile_r, has_planes, has_spheres,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # packed cull words
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec((8, tile_r), lambda i, s: (0, i),
+                                   memory_space=pltpu.VMEM)]
+            + [const((c, m)) for _ in _TABLE_NAMES]
+            + [const((m, _AABB_ROWS)), const((n_pl, _PS_ROWS)),
+               const((n_sp, _PS_ROWS)),
+               smem((n_lights, 8)), smem((1, 4))],
+            out_specs=pl.BlockSpec((8, tile_r), lambda i, s: (0, i),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((1, tile_r), jnp.float32),   # best t / occ flag
+                pltpu.VMEM((1, tile_r), jnp.float32),   # best order key
+                pltpu.VMEM((16, tile_r), jnp.float32),  # winner attrs
+                pltpu.SMEM((1,), jnp.int32),            # secondary cull bits
+            ],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+            interpret=interpret,
+            compiler_params=params,
+        )(hits, rays.T, *[tables[k].T for k in _TABLE_NAMES],
+          aabb.T, plane.T, sphere.T, lights, scalars)
+        return out.T
+
     kernel = _make_kernel(
         m, n_pl, n_sp, n_lights, bounces, shadow_steps,
         any_refl, any_transp, tile_r, secondary_cull,
         has_planes, has_spheres,
     )
 
-    const = lambda shape: pl.BlockSpec(shape, lambda i, s: (0, 0),
-                                       memory_space=pltpu.VMEM)
-    smem = lambda shape: pl.BlockSpec(shape, lambda i, s: (0, 0),
-                                      memory_space=pltpu.SMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # hits (n_tiles, M)
         grid=(n_tiles,),
@@ -762,13 +1284,6 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
             pltpu.SMEM((1,), jnp.int32),            # secondary cull bits
         ],
     )
-    # The unrolled cast chain keeps several (tile_r, C) temporaries live
-    # per cast site; the default 16 MiB scoped-VMEM budget is far below
-    # the v5e's physical VMEM. Raise it for this kernel.
-    try:
-        params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-    except TypeError:  # older pallas without the knob
-        params = None
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
