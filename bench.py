@@ -30,8 +30,9 @@ try:
 except Exception:
     pass
 
-# First recorded TPU v5e measurement (round 1). Update only upward.
-BASELINE_MCASTS_PER_S = 7.0
+# Best prior recorded TPU v5e measurement (round 2, fused lanes kernel).
+# Update only upward: vs_baseline >= 1.0 means "no regression".
+BASELINE_MCASTS_PER_S = 117.0
 
 WIDTH, HEIGHT, BOUNCES = 1920, 1080, 5
 
