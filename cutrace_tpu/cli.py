@@ -121,10 +121,9 @@ def main(argv=None) -> int:
 
     from cutrace_tpu.io import images
     from cutrace_tpu.render.renderer import prepare, render
-    from cutrace_tpu.scene.soa import scene_to_soa
 
     total_start = time.perf_counter()
-    prepared = prepare(scene_to_soa(scene), accel=args.accel)
+    prepared = prepare(scene, accel=args.accel)
     # Warmup render: XLA compilation happens here (the reference pays its
     # compile at nvcc build time, so its render_ms is kernel-only,
     # kernel.hpp:105-108 — time only the post-compile run for parity).

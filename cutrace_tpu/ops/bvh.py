@@ -122,17 +122,24 @@ def build_accel(
     kind: str = "pallas",
     interpret: Optional[bool] = None,
     min_clusters: int = 0,
+    host_tris=None,
 ) -> Accel:
     """Partition the scene's triangles into an Accel (host-side build).
 
     `min_clusters` pads the cluster axis (for stacking per-shard partitions
-    of differing sizes to one static shape)."""
+    of differing sizes to one static shape). `host_tris` is an optional
+    `(p1, p2, p3, valid)` numpy tuple (scene.soa.host_triangle_soup) that
+    skips the device->host readback of the triangle buffers — over the dev
+    tunnel that readback costs seconds even for tiny scenes."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    p1 = np.asarray(soa.tri_p1)
-    p2 = np.asarray(soa.tri_p2)
-    p3 = np.asarray(soa.tri_p3)
-    valid = np.asarray(soa.tri_valid)
+    if host_tris is not None:
+        p1, p2, p3, valid = (np.asarray(a) for a in host_tris)
+    else:
+        p1 = np.asarray(soa.tri_p1)
+        p2 = np.asarray(soa.tri_p2)
+        p3 = np.asarray(soa.tri_p3)
+        valid = np.asarray(soa.tri_valid)
     centroids = (p1 + p2 + p3) / 3.0
     leaves = build_partition(centroids, cluster_size)
 

@@ -114,7 +114,10 @@ def fused_supported(soa, accel, bounces: int) -> bool:
     if accel is None or accel.kind != "fused":
         return False
     m, c = accel.order.shape
-    if m * c > 65536:  # ~29 tables * m * c * 4B <= ~7.6 MB of VMEM
+    # ~29 tables * m * c * 4B: 262144 slots (256k triangles at C=128) is
+    # ~30 MB of VMEM tables — fits the 100 MB scoped budget with room for
+    # the (tile_r, C) cast temporaries
+    if m * c > 262144:
         return False
     # both-branch scenes explode the in-kernel unroll (2^b nodes x casts)
     if soa.any_reflective and soa.any_transparent and bounces > 2:
@@ -281,8 +284,10 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             wz = cdx * coy - cdy * cox
 
             if secondary_cull and not primary:
-                # one vector->scalar sync per cast: slab test over all
-                # clusters, any() over rays, packed into an M-bit scalar
+                # In-kernel secondary-cast cull, packed into ceil(M/32)
+                # int32 SMEM words (2 vector->scalar syncs per word; an
+                # unpacked per-cluster any() would stall the scalar core
+                # ~1us per cluster).
                 bmnx = aabb_ref[0:1, :]
                 bmny = aabb_ref[1:2, :]
                 bmnz = aabb_ref[2:3, :]
@@ -290,52 +295,121 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 bmxy = aabb_ref[4:5, :]
                 bmxz = aabb_ref[5:6, :]
 
-                def axis_minmax(bmn, bmx, o1, d1):
-                    innv = 1.0 / d1  # +-inf on zero components
-                    t1 = (bmn - o1) * innv  # (tile_r, M)
-                    t2 = (bmx - o1) * innv
-                    lo = jnp.minimum(t1, t2)
-                    hi = jnp.maximum(t1, t2)
-                    lo = jnp.where(jnp.isnan(lo), 0.0, lo)
-                    hi = jnp.where(jnp.isnan(hi), inf, hi)
-                    return lo, hi
+                if m <= _EXACT_CULL_MAX_M:
+                    # exact per-ray slab test: (tile_r, M) work, tightest
+                    # possible mask
+                    def axis_minmax(bmn, bmx, o1, d1):
+                        innv = 1.0 / d1  # +-inf on zero components
+                        t1 = (bmn - o1) * innv  # (tile_r, M)
+                        t2 = (bmx - o1) * innv
+                        lo = jnp.minimum(t1, t2)
+                        hi = jnp.maximum(t1, t2)
+                        lo = jnp.where(jnp.isnan(lo), 0.0, lo)
+                        hi = jnp.where(jnp.isnan(hi), inf, hi)
+                        return lo, hi
 
-                lx, hx = axis_minmax(bmnx, bmxx, cox, cdx)
-                ly, hy = axis_minmax(bmny, bmxy, coy, cdy)
-                lz, hz = axis_minmax(bmnz, bmxz, coz, cdz)
-                tmn = jnp.maximum(jnp.maximum(lx, ly), jnp.maximum(lz, 0.0))
-                tmx = jnp.minimum(jnp.minimum(hx, hy), hz)
-                cond = tmn <= tmx
-                if occl:
-                    # occlusion query: clusters entirely beyond the light
-                    # can't occlude it
-                    cond &= tmn < ldist
-                anyhit = jnp.max(
-                    jnp.where(cond, 1.0, 0.0), axis=0, keepdims=True
-                )  # (1, M)
-                # pack the M-bit mask into one int32 scalar (one
-                # vector->scalar sync; requires M <= 31 — enforced by the
-                # secondary_cull flag in the wrapper). 2^lane exactly
-                # representable and exactly summed in f32 for M <= 24;
-                # use two 16-bit halves to stay exact for M <= 31.
+                    lx, hx = axis_minmax(bmnx, bmxx, cox, cdx)
+                    ly, hy = axis_minmax(bmny, bmxy, coy, cdy)
+                    lz, hz = axis_minmax(bmnz, bmxz, coz, cdz)
+                    tmn = jnp.maximum(jnp.maximum(lx, ly),
+                                      jnp.maximum(lz, 0.0))
+                    tmx = jnp.minimum(jnp.minimum(hx, hy), hz)
+                    cond = tmn <= tmx
+                    if occl:
+                        # clusters entirely beyond the light can't occlude
+                        cond &= tmn < ldist
+                    anyhit = jnp.max(
+                        jnp.where(cond, 1.0, 0.0), axis=0, keepdims=True
+                    )  # (1, M)
+                else:
+                    # conservative interval slab: O(M) per cast instead of
+                    # O(tile_r * M) — the tile's rays collapse to per-axis
+                    # origin/direction intervals ((1,1) vector reductions,
+                    # no scalar sync), and interval arithmetic bounds the
+                    # per-ray slab's tmin from below / tmax from above.
+                    # A cluster is culled only if NO ray in the bounding
+                    # box of the tile's rays can touch it (superset mask:
+                    # always safe, tight for coherent tiles).
+                    def rmin(x):
+                        return jnp.min(x, axis=0, keepdims=True)  # (1, 1)
+
+                    def rmax(x):
+                        return jnp.max(x, axis=0, keepdims=True)
+
+                    def imul_bounds(x_lo, x_hi, y_lo, y_hi):
+                        """Lower/upper bound of {x*y : x in X, y in Y}."""
+                        p1 = x_lo * y_lo
+                        p2 = x_lo * y_hi
+                        p3 = x_hi * y_lo
+                        p4 = x_hi * y_hi
+                        lo = jnp.minimum(jnp.minimum(p1, p2),
+                                         jnp.minimum(p3, p4))
+                        hi = jnp.maximum(jnp.maximum(p1, p2),
+                                         jnp.maximum(p3, p4))
+                        # inf * 0 -> NaN: widen to unbounded (conservative)
+                        lo = jnp.where(jnp.isnan(lo), -inf, lo)
+                        hi = jnp.where(jnp.isnan(hi), inf, hi)
+                        return lo, hi
+
+                    def axis_bounds(bmn, bmx, o1, d1):
+                        """(lo of per-ray slab-lo, hi of per-ray slab-hi)
+                        per cluster, over all rays in the tile."""
+                        o_lo, o_hi = rmin(o1), rmax(o1)
+                        d_lo, d_hi = rmin(d1), rmax(d1)
+                        crosses = (d_lo <= 0.0) & (d_hi >= 0.0)
+                        i1 = 1.0 / d_lo
+                        i2 = 1.0 / d_hi
+                        inv_lo = jnp.where(crosses, -inf,
+                                           jnp.minimum(i1, i2))
+                        inv_hi = jnp.where(crosses, inf,
+                                           jnp.maximum(i1, i2))
+                        t1_lo, t1_hi = imul_bounds(bmn - o_hi, bmn - o_lo,
+                                                   inv_lo, inv_hi)
+                        t2_lo, t2_hi = imul_bounds(bmx - o_hi, bmx - o_lo,
+                                                   inv_lo, inv_hi)
+                        # per-ray lo = min(t1, t2): lower bound is
+                        # min(t1_lo, t2_lo); hi = max(t1, t2) likewise
+                        return (jnp.minimum(t1_lo, t2_lo),
+                                jnp.maximum(t1_hi, t2_hi))
+
+                    lx, hx = axis_bounds(bmnx, bmxx, cox, cdx)
+                    ly, hy = axis_bounds(bmny, bmxy, coy, cdy)
+                    lz, hz = axis_bounds(bmnz, bmxz, coz, cdz)
+                    tmn_lb = jnp.maximum(jnp.maximum(lx, ly),
+                                         jnp.maximum(lz, 0.0))
+                    tmx_ub = jnp.minimum(jnp.minimum(hx, hy), hz)
+                    cond = tmn_lb <= tmx_ub  # (1, M)
+                    if occl:
+                        cond &= tmn_lb < rmax(ldist)
+                    anyhit = jnp.where(cond, 1.0, 0.0)
+
+                # pack the M-bit mask into int32 words. 2^lane exactly
+                # representable and exactly summed in f32 for <= 24 terms;
+                # two 16-bit halves per word stay exact. int32 wraparound
+                # makes bit 31 land correctly via the << 16.
                 # Mosaic iota must be integer-typed
                 lane = jax.lax.broadcasted_iota(
                     jnp.int32, (1, m), 1
                 ).astype(jnp.float32)
-                lo16 = jnp.sum(
-                    jnp.where(lane < 16.0, anyhit * jnp.exp2(lane), 0.0)
-                )
-                hi16 = jnp.sum(
-                    jnp.where(lane >= 16.0, anyhit * jnp.exp2(lane - 16.0),
-                              0.0)
-                )
-                bits_s[0] = (
-                    lo16.astype(jnp.int32)
-                    + (hi16.astype(jnp.int32) << 16)
-                )
+                for w in range(n_words):
+                    base = jnp.float32(32 * w)
+                    in_lo = (lane >= base) & (lane < base + 16.0)
+                    in_hi = (lane >= base + 16.0) & (lane < base + 32.0)
+                    lo16 = jnp.sum(
+                        jnp.where(in_lo, anyhit * jnp.exp2(lane - base),
+                                  0.0)
+                    )
+                    hi16 = jnp.sum(
+                        jnp.where(in_hi,
+                                  anyhit * jnp.exp2(lane - base - 16.0),
+                                  0.0)
+                    )
+                    bits_s[w] = (
+                        lo16.astype(jnp.int32)
+                        + (hi16.astype(jnp.int32) << 16)
+                    )
 
-            def body(mi, _):
-                def visit():
+            def visit(mi):
                     col = lambda name: tabs[name][pl.ds(mi, 1), :]  # (1, C)
                     n0, n1, n2 = col("n0"), col("n1"), col("n2")
                     alpha = cdx * n0 + cdy * n1 + cdz * n2  # (tile_r, C)
@@ -393,25 +467,36 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     bt_s[:] = jnp.where(better, tmin, best_t)
                     bk_s[:] = jnp.where(better, kmin, best_k)
 
-                if primary:
-                    # hits is bit-packed 1-D (n_tiles * ceil(M/32),) int32:
-                    # 2-D prefetch operands are padded to (8, 128) tiles
-                    # even in SMEM, so a (n_tiles, M) — or even (n_tiles,
-                    # W) — mask blows the 1 MiB SMEM at 1080p (4056 x 128
-                    # x 4 B = 2 MiB); the flat packed form is 65 KiB
-                    word = hits_ref[i * n_words + mi // 32]
-                    @pl.when(((word >> (mi % 32)) & 1) != 0)
-                    def _():
-                        visit()
-                elif secondary_cull:
-                    @pl.when(((bits_s[0] >> mi) & 1) != 0)
-                    def _():
-                        visit()
-                else:
-                    visit()
-                return 0
+            if primary or secondary_cull:
+                # Word-skip loop: whole 32-cluster words with an empty
+                # mask are skipped in ONE scalar branch (cull masks are
+                # spatially sparse — a flat per-cluster loop pays branch
+                # overhead M times, dominating skipped-iteration cost at
+                # large M).
+                # Primary masks are bit-packed 1-D (n_tiles * ceil(M/32),)
+                # int32 prefetch words: 2-D prefetch operands are padded
+                # to (8, 128) tiles even in SMEM, so a (n_tiles, M) mask
+                # blows the 1 MiB SMEM at 1080p; the flat packed form is
+                # 65 KiB. Secondary masks are the in-kernel bits_s words.
+                def wbody(w, _):
+                    word = (hits_ref[i * n_words + w] if primary
+                            else bits_s[w])
 
-            jax.lax.fori_loop(0, m, body, 0)
+                    @pl.when(word != 0)
+                    def _():
+                        def bbody(b, _):
+                            @pl.when(((word >> b) & 1) != 0)
+                            def _():
+                                # mask bits beyond m are never set, so
+                                # w*32+b < m whenever we get here
+                                visit(w * 32 + b)
+                            return 0
+                        jax.lax.fori_loop(0, min(32, m), bbody, 0)
+                    return 0
+
+                jax.lax.fori_loop(0, n_words, wbody, 0)
+            else:
+                jax.lax.fori_loop(0, m, lambda mi, _: (visit(mi), 0)[1], 0)
 
             def merge_kind(tab_ref, n, t, ok):
                 """Cross-kind merge by (t, scene obj); one-hot attr rows."""
@@ -733,6 +818,12 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
 # bigger partitions fall back to the sublane kernel above.
 
 _LANES_MAX_M = 31  # bits of one int32 cull word (bit 31 = sign)
+
+# Secondary-cull flavor threshold for the sublane kernel: at or below this
+# cluster count the exact per-ray slab test is cheap and tightest; above it
+# the O(M) conservative interval cull wins (tests lower this to exercise
+# the interval path on small scenes).
+_EXACT_CULL_MAX_M = 2048
 
 
 def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
@@ -1281,7 +1372,7 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
             pltpu.VMEM((tile_r, 1), jnp.float32),   # best t
             pltpu.VMEM((tile_r, 1), jnp.int32),     # best order key
             pltpu.VMEM((tile_r, 16), jnp.float32),  # winner attrs
-            pltpu.SMEM((1,), jnp.int32),            # secondary cull bits
+            pltpu.SMEM((-(-m // 32),), jnp.int32),  # secondary cull bits
         ],
     )
     out = pl.pallas_call(
@@ -1332,8 +1423,26 @@ def _fused_forward(soa, accel, o, d, fudge, bounces):
     n_tiles = r_pad // tile_r
     bmin = aabb[0:3].T
     bmax = aabb[3:6].T
-    ray_hits = slab_test(bmin, bmax, rays[:, 0:3], rays[:, 3:6])
-    tile_hits = ray_hits.reshape(n_tiles, tile_r, m).any(axis=1)
+    if r_pad * m <= (1 << 27):
+        ray_hits = slab_test(bmin, bmax, rays[:, 0:3], rays[:, 3:6])
+        tile_hits = ray_hits.reshape(n_tiles, tile_r, m).any(axis=1)
+    else:
+        # big partitions: the (R, M) slab-test intermediate would be GBs;
+        # scan tile batches instead (compute is identical, memory bounded)
+        batch = max(1, (1 << 24) // (tile_r * m))
+        n_b = -(-n_tiles // batch)
+        rt = jnp.zeros((n_b * batch, tile_r, 6), jnp.float32)
+        rt = rt.at[:n_tiles].set(rays[:, 0:6].reshape(n_tiles, tile_r, 6))
+
+        def tile_mask(chunk):  # (batch, tile_r, 6) -> (batch, M)
+            h = slab_test(bmin, bmax,
+                          chunk[..., 0:3].reshape(-1, 3),
+                          chunk[..., 3:6].reshape(-1, 3))
+            return h.reshape(-1, tile_r, m).any(axis=1)
+
+        tile_hits = jax.lax.map(
+            tile_mask, rt.reshape(n_b, batch, tile_r, 6)
+        ).reshape(n_b * batch, m)[:n_tiles]
     # bit-pack per-tile cluster masks into int32 words: the prefetched SMEM
     # operand is (n_tiles, ceil(M/32)) instead of (n_tiles, M) — 1080p with
     # M=128 would otherwise need 2 MiB of the chip's 1 MiB SMEM
@@ -1357,9 +1466,7 @@ def _fused_forward(soa, accel, o, d, fudge, bounces):
         bounces=bounces, shadow_steps=soa.shadow_steps,
         any_refl=soa.any_reflective, any_transp=soa.any_transparent,
         n_lights=soa.n_lights, interpret=accel.interpret,
-        # the one-word bitmask cull needs M <= 31 bits; larger partitions
-        # run secondary casts dense
-        secondary_cull=m <= 31, tile_r=tile_r,
+        secondary_cull=True, tile_r=tile_r,
         has_planes=soa.n_planes > 0, has_spheres=soa.n_spheres > 0,
     )[:r]
     return out[:, 0:3], out[:, 3], out[:, 4:7]

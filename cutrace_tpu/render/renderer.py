@@ -52,11 +52,16 @@ def prepare(scene_or_soa, accel: str = "auto") -> PreparedScene:
     "fused" (whole-pipeline Pallas kernel: cast + shadows + bounce shading
     in one kernel, ops/fused.py — falls back to "pallas" semantics where
     it doesn't apply), or "auto" (fused on TPU)."""
-    soa = (
-        scene_or_soa
-        if isinstance(scene_or_soa, SceneArrays)
-        else scene_to_soa(scene_or_soa)
-    )
+    host_tris = None
+    if isinstance(scene_or_soa, SceneArrays):
+        soa = scene_or_soa
+    else:
+        # Build the partition from the host-side scene: over the dev
+        # tunnel, reading tri_p* back from the device costs seconds.
+        from cutrace_tpu.scene.soa import host_triangle_soup
+
+        host_tris = host_triangle_soup(scene_or_soa)
+        soa = scene_to_soa(scene_or_soa)
     n_tris = int(soa.tri_p1.shape[0])
     if accel == "auto":
         # Kernels only pay off compiled on real TPU hardware (interpret
@@ -76,7 +81,9 @@ def prepare(scene_or_soa, accel: str = "auto") -> PreparedScene:
     # (measured: 2910 -> 2555 ms on bunny 1080p b5).
     size = 128 if accel == "fused" else bvh.CLUSTER_SIZE
     return PreparedScene(
-        soa=soa, accel=bvh.build_accel(soa, cluster_size=size, kind=accel)
+        soa=soa,
+        accel=bvh.build_accel(soa, cluster_size=size, kind=accel,
+                              host_tris=host_tris),
     )
 
 

@@ -68,3 +68,26 @@ def load_mesh(path: str) -> np.ndarray:
     if str(path).lower().endswith(".obj"):
         return load_obj(path)
     return load_stl(path)
+
+
+def subdivide(vertices: np.ndarray, levels: int = 1) -> np.ndarray:
+    """Midpoint 1:4 subdivision of a triangle soup (N, 3, 3) -> (4^L*N, 3, 3).
+
+    Splits every triangle at its edge midpoints; the union of the four
+    children is exactly the parent's surface, so renders of a subdivided
+    mesh match the original (up to tie-breaks on shared edges). Used to
+    scale scenes to arbitrary triangle counts (the reference loads
+    arbitrary-size models through Assimp, default_schema.hpp:516-545)."""
+    v = np.asarray(vertices, np.float32).reshape(-1, 3, 3)
+    for _ in range(levels):
+        p1, p2, p3 = v[:, 0], v[:, 1], v[:, 2]
+        m12 = 0.5 * (p1 + p2)
+        m23 = 0.5 * (p2 + p3)
+        m31 = 0.5 * (p3 + p1)
+        v = np.concatenate([
+            np.stack([p1, m12, m31], axis=1),
+            np.stack([m12, p2, m23], axis=1),
+            np.stack([m31, m23, p3], axis=1),
+            np.stack([m12, m23, m31], axis=1),
+        ])
+    return v

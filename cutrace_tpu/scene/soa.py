@@ -142,6 +142,33 @@ _PAD_PLANE = (
 _PAD_SPHERE = np.asarray([[_FAR, -_FAR, _FAR]], np.float32)
 
 
+def host_triangle_soup(scene: T.Scene):
+    """The triangle rows of the SoA, on host, in scene_to_soa's exact
+    order (object order; a mesh's triangles in file order). Returns numpy
+    `(p1 (T,3), p2, p3, valid (T,))` with the same never-hit sentinel
+    padding as scene_to_soa. Used to build acceleration structures without
+    a device->host readback (the dev tunnel makes device_get of even tiny
+    arrays cost seconds)."""
+    tp1, tp2, tp3 = [], [], []
+    for obj in scene.objects:
+        if isinstance(obj, T.Triangle):
+            tp1.append(obj.p1)
+            tp2.append(obj.p2)
+            tp3.append(obj.p3)
+        elif isinstance(obj, T.Mesh):
+            v = obj.vertices
+            tp1.append(v[:, 0])
+            tp2.append(v[:, 1])
+            tp3.append(v[:, 2])
+    if not tp1:
+        return (_PAD_TRI[0].copy(), _PAD_TRI[1].copy(), _PAD_TRI[2].copy(),
+                np.zeros(1, bool))
+    p1 = np.concatenate([np.reshape(p, (-1, 3)) for p in tp1]).astype(np.float32)
+    p2 = np.concatenate([np.reshape(p, (-1, 3)) for p in tp2]).astype(np.float32)
+    p3 = np.concatenate([np.reshape(p, (-1, 3)) for p in tp3]).astype(np.float32)
+    return p1, p2, p3, np.ones(len(p1), bool)
+
+
 def scene_to_soa(scene: T.Scene, shadow_steps: int = 16) -> SceneArrays:
     """Flatten a CPU scene into the device SoA pytree.
 

@@ -132,3 +132,22 @@ def test_fused_never_stale(scenes_dir):
     ref = np.asarray(render(moved, bounces=1)[0])
     assert not np.allclose(before, out), "fused render is stale"
     _compare([ref], [out], names=("color",), atol=1e-3)
+
+
+@pytest.mark.parametrize("exact_cap", [128, 16])
+def test_fused_multiword_cull_paths(scenes_dir, monkeypatch, exact_cap):
+    """M > 31 clusters exercises the multi-word secondary cull bitmask;
+    lowering _EXACT_CULL_MAX_M forces the conservative interval cull (the
+    big-scene path). Both must match the composable renderer exactly."""
+    from cutrace_tpu.ops import fused
+
+    monkeypatch.setattr(fused, "_EXACT_CULL_MAX_M", exact_cap)
+    soa = _load(scenes_dir, "bunny.json", 32, 18)
+    accel = bvh.build_accel(soa, 8, kind="fused", interpret=True)
+    m = accel.order.shape[0]
+    assert m > 31, f"want a multi-word partition, got M={m}"
+    from cutrace_tpu.render.renderer import PreparedScene
+
+    base = render(prepare(soa, accel="none"), bounces=1)
+    out = render(PreparedScene(soa=soa, accel=accel), bounces=1)
+    _compare(base, out, atol=2e-4)

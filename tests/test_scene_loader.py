@@ -200,3 +200,40 @@ def test_obj_mesh_import(tmp_path):
     }))
     sc = load_scene(scene_file)
     assert sc.objects[0].num_triangles == 3
+
+
+def test_host_triangle_soup_matches_soa(scenes_dir):
+    """host_triangle_soup (the accel builder's no-readback source) must
+    reproduce scene_to_soa's triangle buffers exactly, including sentinel
+    padding for triangle-free scenes."""
+    from cutrace_tpu.scene.soa import host_triangle_soup, scene_to_soa
+
+    for name in ("bunny.json", "mirror.json", "triangle.json",
+                 "sphere_plane.json"):
+        sc = load_file(str(scenes_dir / name)).scene
+        soa = scene_to_soa(sc)
+        p1, p2, p3, valid = host_triangle_soup(sc)
+        assert np.array_equal(p1, np.asarray(soa.tri_p1))
+        assert np.array_equal(p2, np.asarray(soa.tri_p2))
+        assert np.array_equal(p3, np.asarray(soa.tri_p3))
+        assert np.array_equal(valid, np.asarray(soa.tri_valid))
+
+
+def test_mesh_subdivide_preserves_surface():
+    """Midpoint subdivision quadruples the count and the children tile the
+    parent exactly (same total area, same AABB)."""
+    from cutrace_tpu.scene.mesh_io import subdivide
+
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((7, 3, 3)).astype(np.float32)
+    s = subdivide(v, 2)
+    assert s.shape == (7 * 16, 3, 3)
+
+    def area(tris):
+        e1 = tris[:, 1] - tris[:, 0]
+        e2 = tris[:, 2] - tris[:, 0]
+        return 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1).sum()
+
+    assert np.isclose(area(s), area(v), rtol=1e-5)
+    assert np.allclose(s.reshape(-1, 3).min(0), v.reshape(-1, 3).min(0))
+    assert np.allclose(s.reshape(-1, 3).max(0), v.reshape(-1, 3).max(0))
