@@ -703,13 +703,16 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     sh = jnp.where(sh >= 1.0, 1.0, sh)
                 lit = sh < 1.0
 
-                fd = jnp.maximum(0.0, nnx * sdx + nny * sdy + nnz * sdz)
+                # max(0, x) with CUDA fmaxf semantics: NaN -> 0 (a
+                # zero-direction sun yields NaN dot products and the
+                # reference shades those pixels ambient-only)
+                fdd = nnx * sdx + nny * sdy + nnz * sdz
+                fd = jnp.where(fdd > 0.0, fdd, 0.0)
                 hvx, hvy, hvz = mdx + sdx, mdy + sdy, mdz + sdz
                 hl = norm3(hvx, hvy, hvz)
                 hl = jnp.where(hl == 0.0, 1.0, hl)
-                base = jnp.maximum(
-                    0.0, (nnx * hvx + nny * hvy + nnz * hvz) / hl
-                )
+                bdd = (nnx * hvx + nny * hvy + nnz * hvz) / hl
+                base = jnp.where(bdd > 0.0, bdd, 0.0)
                 backf = base <= 0.0
                 fs = jnp.where(
                     backf, 0.0,
@@ -1186,13 +1189,16 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     sh = jnp.where(sh >= 1.0, 1.0, sh)
                 lit = sh < 1.0
 
-                fd = jnp.maximum(0.0, nnx * sdx + nny * sdy + nnz * sdz)
+                # max(0, x) with CUDA fmaxf semantics: NaN -> 0 (a
+                # zero-direction sun yields NaN dot products and the
+                # reference shades those pixels ambient-only)
+                fdd = nnx * sdx + nny * sdy + nnz * sdz
+                fd = jnp.where(fdd > 0.0, fdd, 0.0)
                 hvx, hvy, hvz = mdx + sdx, mdy + sdy, mdz + sdz
                 hl = norm3(hvx, hvy, hvz)
                 hl = jnp.where(hl == 0.0, 1.0, hl)
-                base = jnp.maximum(
-                    0.0, (nnx * hvx + nny * hvy + nnz * hvz) / hl
-                )
+                bdd = (nnx * hvx + nny * hvy + nnz * hvz) / hl
+                base = jnp.where(bdd > 0.0, bdd, 0.0)
                 backf = base <= 0.0
                 fs = jnp.where(
                     backf, 0.0,

@@ -69,6 +69,11 @@ def _norm(a):
 
 def _normalize(a):
     n = _norm(a)
+    if n == 0.0 or math.isnan(n):
+        # C float semantics: 0/0 = NaN (a zero vector normalizes to NaN,
+        # it does not raise — vector.hpp normalized() on a sun with
+        # direction (0,0,0)). Python float division would raise instead.
+        return (math.nan, math.nan, math.nan)
     return (a[0] / n, a[1] / n, a[2] / n)
 
 

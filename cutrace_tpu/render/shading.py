@@ -132,13 +132,18 @@ def phong(soa, d, hit: I.HitRecord, tri_candidates=None):
         shadow = shadow_all[i]
         lit = shadow < 1.0
 
-        fd = jnp.maximum(0.0, _dot(nn, sdir))
+        # max(0, x) with CUDA fmaxf semantics: NaN -> 0. A zero-direction
+        # sun produces NaN dot products; the reference's fmaxf drops them
+        # to 0 and shades those pixels ambient-only (shading.hpp:86-88).
+        fdd = _dot(nn, sdir)
+        fd = jnp.where(fdd > 0.0, fdd, 0.0)
         hvec = _normalize(minus_dn + sdir)
         # fs = max(0, n.h)^exp (shading.hpp:88). Computed via the double-
         # where pattern: at base == 0 the value is 0 but d/d(exp) of
         # base**exp is 0^exp * log(0) = NaN — evaluate the pow at a safe
         # base and select the exact 0 from a constant branch instead.
-        base = jnp.maximum(0.0, _dot(nn, hvec))
+        bdd = _dot(nn, hvec)
+        base = jnp.where(bdd > 0.0, bdd, 0.0)
         backfacing = base <= 0.0
         fs = jnp.where(
             backfacing, 0.0, jnp.where(backfacing, 1.0, base) ** phong_e

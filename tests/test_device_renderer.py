@@ -153,3 +153,35 @@ def test_chunked_equals_unchunked(scenes_dir):
     b = render(sc, bounces=1, chunk=64)
     for x, y, name in zip(a, b, ("color", "depth", "normal")):
         assert_image_close(x, y, f"chunk/{name}", atol=1e-5)
+
+
+def test_degenerate_sun_matches_reference_semantics():
+    """A sun with direction (0,0,0): the reference normalizes the zero
+    vector to NaN, fmaxf(0, NaN) drops the diffuse/specular terms to 0,
+    and the pixel shades ambient-only (shading.hpp:80-88,
+    default_schema.hpp:280-283). Device path and cpuref must both
+    reproduce that — finite, ambient-only output, no NaN leakage."""
+    from cutrace_tpu.scene.loader import load_from
+
+    spec = {
+        "camera": {"eye": [0, 0, -3], "look": [0, 0, 0],
+                   "width": 8, "height": 8},
+        "materials": [{"type": "solid", "color": [0.8, 0.2, 0.2]}],
+        "lights": [{"type": "sun", "direction": [0, 0, 0]}],
+        "objects": [{"type": "triangle", "p1": [-1, -1, 0],
+                     "p2": [1, -1, 0], "p3": [0, 1, 0], "material": 0}],
+    }
+    res = load_from(spec)
+    assert res.ok
+    sc = res.scene
+    c, d, n = [np.asarray(x) for x in render(scene_to_soa(sc), bounces=2)]
+    cr, _, _ = cpuref.render_cpu(sc, bounces=2)
+    assert np.isfinite(c).all()
+    np.testing.assert_allclose(c, np.asarray(cr), atol=1e-5)
+    # hit pixels are exactly ambient * diffuse
+    hit = np.isfinite(d)
+    assert hit.any()
+    np.testing.assert_allclose(
+        c[hit], np.broadcast_to([0.08, 0.02, 0.02], c[hit].shape),
+        atol=1e-5,
+    )

@@ -151,3 +151,21 @@ def test_fused_multiword_cull_paths(scenes_dir, monkeypatch, exact_cap):
     base = render(prepare(soa, accel="none"), bounces=1)
     out = render(PreparedScene(soa=soa, accel=accel), bounces=1)
     _compare(base, out, atol=2e-4)
+
+
+def test_subdivided_mesh_renders_identically(scenes_dir):
+    """Midpoint subdivision leaves the surface unchanged, so a 16x-
+    subdivided bunny (16k triangles, M=128 clusters -> sublane kernel,
+    multi-word cull) must render the same image as the original
+    (knife-edge tie-break flips allowed on discontinuities only)."""
+    from cutrace_tpu.scene.mesh_io import subdivide
+    from cutrace_tpu.scene.loader import load_scene as _ls
+
+    sc = _ls(scenes_dir / "bunny.json")
+    sc.camera.width, sc.camera.height = 32, 18
+    base = render(prepare(scene_to_soa(sc), accel="none"), bounces=1)
+    for ob in sc.objects:
+        if type(ob).__name__ == "Mesh":
+            ob.vertices = subdivide(ob.vertices, 2)
+    out = render(prepare(sc, accel="fused"), bounces=1)
+    _compare(base, out, atol=2e-4, edge_budget=0.10)
