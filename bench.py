@@ -32,7 +32,7 @@ except Exception:
 
 # Best prior recorded TPU v5e measurement (round 2, fused lanes kernel).
 # Update only upward: vs_baseline >= 1.0 means "no regression".
-BASELINE_MCASTS_PER_S = 117.0
+BASELINE_MCASTS_PER_S = 134.0
 
 WIDTH, HEIGHT, BOUNCES = 1920, 1080, 5
 

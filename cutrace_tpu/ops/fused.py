@@ -818,9 +818,12 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
 # transposed (C, M) tables, and Mosaic cannot dynamically index the lane
 # dimension — so the cluster loop is STATICALLY UNROLLED over M. That bounds
 # this kernel to M <= _LANES_MAX_M clusters (<= 4k triangles at C=128);
-# bigger partitions fall back to the sublane kernel above.
+# bigger partitions fall back to the sublane kernel above. prepare()
+# picks the smallest C keeping M in range (finer clusters cull more).
 
-_LANES_MAX_M = 31  # bits of one int32 cull word (bit 31 = sign)
+_LANES_MAX_M = 32  # bits of one int32 cull word (bit 31 lands via the
+# exact two-half packing: hi16 << 16 wraps into the sign bit, and the
+# arithmetic-shift read masks with & 1, so the full word is usable)
 
 # Secondary-cull flavor threshold for the sublane kernel: at or below this
 # cluster count the exact per-ray slab test is cheap and tightest; above it
@@ -919,7 +922,7 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     jnp.where(cond, 1.0, 0.0), axis=1, keepdims=True
                 )  # (M, 1)
                 # pack the per-SUBLANE mask into one int32 (two exact
-                # 16-bit halves, M <= 31)
+                # 16-bit halves; bit 31 wraps into the sign bit)
                 lane = jax.lax.broadcasted_iota(
                     jnp.int32, (m, 1), 0
                 ).astype(jnp.float32)

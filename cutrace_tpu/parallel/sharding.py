@@ -208,6 +208,28 @@ def render_pixels_sharded(soa, mesh: Mesh, idx, bounces: int, fudge,
         check_vma=False,
     )
     def body(soa_local, idx_local, accel_local):
+        o, d = camera_rays(soa_local, idx_local % soa.width,
+                           idx_local // soa.width)
+        if (
+            not shard_prims
+            and accel_local is not None
+            and accel_local.kind == "fused"
+            and isinstance(fudge, (int, float))
+        ):
+            # Tiles-only mesh + replicated scene: each device runs the
+            # fused whole-pipeline kernel on its own ray shard — the
+            # multi-chip path gets the single-chip kernel's speed (the
+            # composable pipeline below is ~15x slower per chip). Falls
+            # through when out of kernel scope. `fudge` must be static
+            # (the kernel's custom_vjp keeps it nondiff); render_sharded
+            # passes it so, the training path passes a traced scalar and
+            # keeps the composable pipeline.
+            from cutrace_tpu.ops.fused import (fused_render_rays,
+                                               fused_supported)
+
+            if fused_supported(soa_local, accel_local, bounces):
+                return fused_render_rays(soa_local, accel_local, o, d,
+                                         float(fudge), bounces)
         if shard_prims:
             if accel_local is not None:
                 # drop the sharded leading axis: (1, M, C) -> (M, C)
@@ -217,23 +239,41 @@ def render_pixels_sharded(soa, mesh: Mesh, idx, bounces: int, fudge,
             from cutrace_tpu.ops.bvh import candidates_fn
 
             tri_c = candidates_fn(accel_local)
-        o, d = camera_rays(soa_local, idx_local % soa.width,
-                           idx_local // soa.width)
         return render_rays(soa_local, o, d, bounces, fudge, tri_c)
 
     return body(soa, idx, accel)
 
 
-@functools.partial(jax.jit, static_argnames=("bounces", "mesh"))
+@functools.partial(jax.jit, static_argnames=("bounces", "mesh", "fudge"))
 def _render_sharded_jit(soa, mesh, fudge, bounces, accel=None):
     n = soa.width * soa.height
     n_tiles = mesh.shape[TILE_AXIS]
-    n_pad = _ceil_to(n, n_tiles)
-    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    fused_path = (
+        accel is not None
+        and accel.kind == "fused"
+        and mesh.shape[PRIM_AXIS] == 1
+    )
+    if fused_path:
+        # Block-coherent pixel order (one kernel tile = one compact image
+        # block), padded so every shard holds whole kernel tiles; the
+        # inverse permutation restores scanline order afterwards.
+        from cutrace_tpu.ops.fused import TILE_R
+        from cutrace_tpu.render.renderer import _block_order
+
+        n_pad = _ceil_to(n, n_tiles * TILE_R)
+        order, inverse = _block_order(soa.width, soa.height, n_pad)
+        idx = jnp.asarray(order)
+    else:
+        n_pad = _ceil_to(n, n_tiles)
+        idx = jnp.arange(n_pad, dtype=jnp.int32)
+        inverse = None
     idx = jax.device_put(idx, NamedSharding(mesh, P(TILE_AXIS)))
     color, depth, normal = render_pixels_sharded(
         soa, mesh, idx, bounces, fudge, accel
     )
+    if inverse is not None:
+        inv = jnp.asarray(inverse)
+        color, depth, normal = color[inv], depth[inv], normal[inv]
     return (
         color[:n].reshape(soa.height, soa.width, 3),
         depth[:n].reshape(soa.height, soa.width),
@@ -263,4 +303,4 @@ def render_sharded(
             scene, mesh, kind=accel.kind, interpret=accel.interpret
         )
     soa = shard_scene(scene, mesh)
-    return _render_sharded_jit(soa, mesh, jnp.float32(fudge), bounces, accel)
+    return _render_sharded_jit(soa, mesh, float(fudge), bounces, accel)

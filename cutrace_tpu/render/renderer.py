@@ -75,11 +75,25 @@ def prepare(scene_or_soa, accel: str = "auto") -> PreparedScene:
 
     if accel not in ("clusters", "pallas", "fused"):
         raise ValueError(f"unknown accel {accel!r}")
-    # The fused kernel's cluster loop is lane-limited: C=128 fills the
-    # 128-wide VPU tiles exactly (C=64 wastes half of every vector op),
-    # and the coarser cull granularity costs less than it saves
-    # (measured: 2910 -> 2555 ms on bunny 1080p b5).
-    size = 128 if accel == "fused" else bvh.CLUSTER_SIZE
+    # Fused-kernel cluster size: the rays-on-lanes kernel (statically
+    # unrolled, M <= 31 clusters) is much faster than the sublane
+    # fallback, and within its range finer clusters cull more triangle
+    # work per visit (bunny 1080p b5: C=64/M=16 = 457 ms vs C=128/M=8 =
+    # 535 ms). So pick the smallest C that keeps M <= 31; beyond the
+    # lanes range (T > 31*128) the sublane kernel runs with C=128
+    # (full-lane (tile_r, C) intersection tiles).
+    if accel == "fused":
+        from cutrace_tpu.ops.fused import _LANES_MAX_M
+
+        # C=32 measured slower (129 vs 136 Mcasts/s on bunny: per-cluster
+        # unroll overhead beats the finer cull), so 64 is the floor.
+        size = 128
+        for c in (64, 128):
+            if n_tris <= _LANES_MAX_M * c:
+                size = c
+                break
+    else:
+        size = bvh.CLUSTER_SIZE
     return PreparedScene(
         soa=soa,
         accel=bvh.build_accel(soa, cluster_size=size, kind=accel,

@@ -122,3 +122,28 @@ def test_distributed_fit_with_accel(scenes_dir):
         bounces=1, param_filter=("mat_color",), accel="clusters",
     )
     assert losses[-1] < losses[0] * 0.05, f"fit did not converge: {losses}"
+
+
+def test_sharded_render_fused_kernel(scenes_dir):
+    """A fused-kind PreparedScene on a tiles-only mesh runs the fused
+    whole-pipeline kernel per shard (block-coherent pixel order + inverse
+    permutation): the multi-chip path at single-chip kernel speed. Output
+    must match the single-device render to the fused parity tolerance."""
+    from cutrace_tpu.render.renderer import prepare
+
+    sc = load_scene(scenes_dir / "bunny.json")
+    sc.camera.width, sc.camera.height = 32, 18
+    soa = scene_to_soa(sc)
+    ref = render(soa, bounces=2)
+    prepared = prepare(soa, accel="fused")
+    out = render_sharded(prepared, make_mesh(8, 1), bounces=2)
+    import sys
+    sys.path.insert(0, str(scenes_dir.parent / "tests"))
+    from test_device_renderer import discontinuity_mask
+
+    for a, b, name in zip(ref, out, ("color", "depth", "normal")):
+        a, b = np.asarray(a), np.asarray(b)
+        ok = np.isclose(a, b, atol=2e-4) | (np.isinf(a) & np.isinf(b))
+        bad = ~ok.reshape(a.shape[0], a.shape[1], -1).all(-1)
+        off = bad & ~discontinuity_mask(a)
+        assert off.sum() == 0, f"{name}: {off.sum()} mismatches off edges"
