@@ -79,6 +79,7 @@ _CONST_NAMES = (
 
 
 def _cast_kernel(n_clusters, tile_r, hits_ref, rays_ref, *rest):
+    n_words = -(-n_clusters // 32)
     const_refs = dict(zip(_CONST_NAMES, rest[:len(_CONST_NAMES)]))
     t_out, ord_out, bt_s, bo_s = rest[len(_CONST_NAMES):]
 
@@ -98,11 +99,7 @@ def _cast_kernel(n_clusters, tile_r, hits_ref, rays_ref, *rest):
     bt_s[:] = jnp.full((tile_r, 1), jnp.inf, jnp.float32)
     bo_s[:] = jnp.full((tile_r, 1), _BIG, jnp.int32)
 
-    def body(mi, _):
-        # Cull decision precomputed by XLA (scalar-prefetch SMEM read —
-        # no VPU->scalar sync; an in-kernel any() stalls ~1us per cluster).
-        @pl.when(hits_ref[i, mi] > 0)
-        def _():
+    def visit(mi):
             col = lambda name: const_refs[name][pl.ds(mi, 1), :]  # (1, C)
             n0, n1, n2 = col("n0"), col("n1"), col("n2")
             alpha = dx * n0 + dy * n1 + dz * n2  # (TILE_R, C)
@@ -145,9 +142,26 @@ def _cast_kernel(n_clusters, tile_r, hits_ref, rays_ref, *rest):
             bt_s[:] = jnp.where(better, tmin_r, best_t)
             bo_s[:] = jnp.where(better, kmin, best_ord)
 
+    # Word-skip loop over the bit-packed cull mask (flat 1-D prefetch
+    # words, like ops/fused.py: a 2-D (n_tiles, M) SMEM operand is padded
+    # to (8, 128) tiles and blows the 1 MiB SMEM for big M or many
+    # tiles). An empty 32-cluster word costs one scalar branch.
+    def wbody(w, _):
+        word = hits_ref[i * n_words + w]
+
+        @pl.when(word != 0)
+        def _():
+            def bbody(b, _):
+                @pl.when(((word >> b) & 1) != 0)
+                def _():
+                    # mask bits beyond n_clusters are never set
+                    visit(w * 32 + b)
+                return 0
+
+            jax.lax.fori_loop(0, min(32, n_clusters), bbody, 0)
         return 0
 
-    jax.lax.fori_loop(0, n_clusters, body, 0)
+    jax.lax.fori_loop(0, n_words, wbody, 0)
     t_out[:] = bt_s[:]
     ord_out[:] = bo_s[:]
 
@@ -156,33 +170,42 @@ def _ceil_to(x, m):
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile_r"))
-def _run_cast(consts, bmin, bmax, o, d, min_dist, interpret, tile_r=TILE_R):
-    """Pad rays to tile_r, run the kernel, return (t (R,), order (R,)).
+# Clusters per VMEM-resident kernel invocation. Bigger partitions stream
+# in chunks of this size via lax.map (tables live in HBM, each chunk's
+# tables are DMA'd to VMEM by its pallas_call) — scene size is then
+# bounded by HBM, not VMEM. 1024 clusters x C=64 is ~4.7 MB of tables.
+M_CHUNK = 1024
 
-    o must already be recentered (o - o0); bmin/bmax are the recentered
-    (M, 3) cluster AABBs (used only for the XLA-side cull bitmask)."""
+
+def _pack_tile_words(tile_hits):
+    """(n_tiles, M) bool -> flat (n_tiles * ceil(M/32),) int32 words."""
+    n_tiles, m = tile_hits.shape
+    w = -(-m // 32)
+    padded = jnp.zeros((n_tiles, w * 32), jnp.uint32)
+    padded = padded.at[:, :m].set(tile_hits.astype(jnp.uint32))
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    return jax.lax.bitcast_convert_type(
+        jnp.sum(padded.reshape(n_tiles, w, 32) << shifts, axis=-1,
+                dtype=jnp.uint32),
+        jnp.int32,
+    ).reshape(n_tiles * w)
+
+
+def _cast_resident(consts, bmin, bmax, rays, interpret, tile_r):
+    """One VMEM-resident kernel sweep over all clusters in `consts`.
+    rays: (R_pad, 7) padded. Returns (t (R_pad,), order (R_pad,))."""
     from cutrace_tpu.ops.bvh import slab_test
 
     m = bmin.shape[0]
-    r = o.shape[0]
-    r_pad = _ceil_to(r, tile_r)
-    pad = r_pad - r
-
-    def pad1(x, fill):
-        return jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)]) if pad else x
-
-    rays = jnp.stack(
-        [pad1(o[:, 0], 0.0), pad1(o[:, 1], 0.0), pad1(o[:, 2], 0.0),
-         pad1(d[:, 0], 1.0), pad1(d[:, 1], 1.0), pad1(d[:, 2], 1.0),
-         pad1(min_dist, jnp.inf)],
-        axis=1,
-    )  # (R_pad, 7)
-
+    r_pad = rays.shape[0]
     n_tiles = r_pad // tile_r
-    # XLA-side cull: (R_pad, M) slab -> per-(tile, cluster) any() bitmask.
+    # XLA-side cull: (R_pad, M) slab -> per-(tile, cluster) any(), packed
+    # into int32 words (SMEM prefetch operands are tiny this way).
     ray_hits = slab_test(bmin, bmax, rays[:, 0:3], rays[:, 3:6])
-    hits = ray_hits.reshape(n_tiles, tile_r, m).any(axis=1).astype(jnp.int32)
+    tile_hits = ray_hits.reshape(n_tiles, tile_r, m).any(axis=1)
+    # padding clusters (valid-all-zero) must not be visited
+    live = (consts["valid"] > 0.0).any(axis=1)
+    hits = _pack_tile_words(tile_hits & live[None, :])
 
     # Constant-index block specs for the cluster tables: the pipeline skips
     # the HBM->VMEM copy when a block's index is unchanged between grid
@@ -191,7 +214,7 @@ def _run_cast(consts, bmin, bmax, o, d, min_dist, interpret, tile_r=TILE_R):
     const_spec = lambda: pl.BlockSpec((m, c_dim), lambda i, s: (0, 0),
                                       memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # hits (n_tiles, M)
+        num_scalar_prefetch=1,  # packed cull words
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((tile_r, 7), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM)]
@@ -216,7 +239,68 @@ def _run_cast(consts, bmin, bmax, o, d, min_dist, interpret, tile_r=TILE_R):
         ),
         interpret=interpret,
     )(hits, rays, *[consts[k] for k in _CONST_NAMES])
-    return t[:r, 0], order[:r, 0]
+    return t[:, 0], order[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_r"))
+def _run_cast(consts, bmin, bmax, o, d, min_dist, interpret, tile_r=TILE_R):
+    """Pad rays to tile_r, run the kernel, return (t (R,), order (R,)).
+
+    o must already be recentered (o - o0); bmin/bmax are the recentered
+    (M, 3) cluster AABBs (used only for the XLA-side cull bitmask).
+    Partitions over M_CHUNK clusters stream chunk-by-chunk (lax.map) and
+    combine by (t, order) lexicographic min — same winner as one sweep."""
+    m = bmin.shape[0]
+    r = o.shape[0]
+    r_pad = _ceil_to(r, tile_r)
+    pad = r_pad - r
+
+    def pad1(x, fill):
+        return jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)]) if pad else x
+
+    rays = jnp.stack(
+        [pad1(o[:, 0], 0.0), pad1(o[:, 1], 0.0), pad1(o[:, 2], 0.0),
+         pad1(d[:, 0], 1.0), pad1(d[:, 1], 1.0), pad1(d[:, 2], 1.0),
+         pad1(min_dist, jnp.inf)],
+        axis=1,
+    )  # (R_pad, 7)
+
+    if m <= M_CHUNK:
+        t, order = _cast_resident(consts, bmin, bmax, rays, interpret,
+                                  tile_r)
+        return t[:r], order[:r]
+
+    # streamed chunks: pad M, stack to (K, M_CHUNK, ...), sweep via map
+    k = -(-m // M_CHUNK)
+    m_pad = k * M_CHUNK
+
+    def padm(x, fill):
+        if m_pad == m:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((m_pad - m,) + x.shape[1:], fill, x.dtype)]
+        )
+
+    stk = lambda x: x.reshape(k, M_CHUNK, *x.shape[1:])
+    consts_s = {
+        n: stk(padm(consts[n], 0 if n != "order" else _BIG))
+        for n in _CONST_NAMES
+    }
+    # padded clusters are culled via their all-zero "valid" table rows
+    # (_cast_resident's `live` mask), so the AABB fill value is irrelevant
+    bmin_s = stk(padm(bmin, 1.0e8))
+    bmax_s = stk(padm(bmax, 1.0e8))
+
+    def body(chunk):
+        consts_c, bmn, bmx = chunk
+        return _cast_resident(consts_c, bmn, bmx, rays, interpret, tile_r)
+
+    ts, orders = jax.lax.map(body, (consts_s, bmin_s, bmax_s))  # (K, R_pad)
+    t_best = jnp.min(ts, axis=0)
+    key = jnp.where(ts == t_best[None, :], orders, _BIG)
+    o_best = jnp.min(key, axis=0)
+    o_best = jnp.where(jnp.isfinite(t_best), o_best, _BIG)
+    return t_best[:r], o_best[:r]
 
 
 def pallas_candidates(soa, accel, o, d, min_dist, o0, order_base=0):

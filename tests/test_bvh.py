@@ -159,3 +159,24 @@ def test_prepared_scene_never_stale(scenes_dir, kind):
     ref = np.asarray(render(moved, bounces=1)[0])
     assert not np.allclose(before, out), "accelerated render is stale"
     assert np.isclose(out, ref, atol=1e-3).mean() > 0.999
+
+
+def test_pallas_kernel_streamed_chunks(bunny, monkeypatch):
+    """Partitions beyond M_CHUNK clusters stream chunk-by-chunk through
+    the kernel (lax.map) and combine by (t, order) — winner-for-winner
+    identical to the one-sweep path (the big-scene fallback: scenes
+    bounded by HBM, not VMEM)."""
+    from cutrace_tpu.ops import pallas_cast
+
+    monkeypatch.setattr(pallas_cast, "M_CHUNK", 4)
+    # _run_cast is jitted: identical shapes would otherwise hit the cache
+    # entry traced with the resident (one-sweep) path
+    pallas_cast._run_cast.clear_cache()
+    soa, o, d, ref = bunny
+    accel = bvh.build_accel(soa, 64, kind="pallas", interpret=True)
+    assert accel.order.shape[0] > 4  # actually exercises >1 chunk
+    out = I.ray_cast(soa, o, d, jnp.float32(1e-3), bvh.candidates_fn(accel))
+    assert (np.asarray(ref.obj) == np.asarray(out.obj)).all()
+    a, b = np.asarray(ref.t), np.asarray(out.t)
+    assert ((np.abs(a - b) < 1e-4) | (np.isinf(a) & np.isinf(b))).all()
+    pallas_cast._run_cast.clear_cache()  # drop the chunked-path traces
