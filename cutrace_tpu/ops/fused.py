@@ -383,30 +383,16 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                         cond &= tmn_lb < rmax(ldist)
                     anyhit = jnp.where(cond, 1.0, 0.0)
 
-                # pack the M-bit mask into int32 words. 2^lane exactly
-                # representable and exactly summed in f32 for <= 24 terms;
-                # two 16-bit halves per word stay exact. int32 wraparound
-                # makes bit 31 land correctly via the << 16.
-                # Mosaic iota must be integer-typed
-                lane = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, m), 1
-                ).astype(jnp.float32)
+                # pack the M-bit mask into int32 words: one integer
+                # shift+sum reduction per word = ONE vector->scalar sync
+                # each (the earlier two-f32-half form paid two). lane & 31
+                # keeps every shift in [0, 31]; selection masks the rest.
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+                shifted = jnp.int32(1) << (lane & 31)
                 for w in range(n_words):
-                    base = jnp.float32(32 * w)
-                    in_lo = (lane >= base) & (lane < base + 16.0)
-                    in_hi = (lane >= base + 16.0) & (lane < base + 32.0)
-                    lo16 = jnp.sum(
-                        jnp.where(in_lo, anyhit * jnp.exp2(lane - base),
-                                  0.0)
-                    )
-                    hi16 = jnp.sum(
-                        jnp.where(in_hi,
-                                  anyhit * jnp.exp2(lane - base - 16.0),
-                                  0.0)
-                    )
-                    bits_s[w] = (
-                        lo16.astype(jnp.int32)
-                        + (hi16.astype(jnp.int32) << 16)
+                    in_w = (lane >= 32 * w) & (lane < 32 * (w + 1))
+                    bits_s[w] = jnp.sum(
+                        jnp.where(in_w & (anyhit > 0.0), shifted, 0)
                     )
 
             def visit(mi):
@@ -921,21 +907,12 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 anyhit = jnp.max(
                     jnp.where(cond, 1.0, 0.0), axis=1, keepdims=True
                 )  # (M, 1)
-                # pack the per-SUBLANE mask into one int32 (two exact
-                # 16-bit halves; bit 31 wraps into the sign bit)
-                lane = jax.lax.broadcasted_iota(
-                    jnp.int32, (m, 1), 0
-                ).astype(jnp.float32)
-                lo16 = jnp.sum(
-                    jnp.where(lane < 16.0, anyhit * jnp.exp2(lane), 0.0)
-                )
-                hi16 = jnp.sum(
-                    jnp.where(lane >= 16.0, anyhit * jnp.exp2(lane - 16.0),
-                              0.0)
-                )
-                bits_s[0] = (
-                    lo16.astype(jnp.int32)
-                    + (hi16.astype(jnp.int32) << 16)
+                # pack the per-SUBLANE mask into one int32 word with a
+                # single integer shift+sum reduction (one vector->scalar
+                # sync; m <= 32 so every shift is in range)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+                bits_s[0] = jnp.sum(
+                    jnp.where(anyhit > 0.0, jnp.int32(1) << (lane & 31), 0)
                 )
 
             for mi in range(m):  # static unroll: constants are lane slices
