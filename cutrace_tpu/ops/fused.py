@@ -119,8 +119,13 @@ def fused_supported(soa, accel, bounces: int) -> bool:
     # the (tile_r, C) cast temporaries
     if m * c > 262144:
         return False
-    # both-branch scenes explode the in-kernel unroll (2^b nodes x casts)
-    if soa.any_reflective and soa.any_transparent and bounces > 2:
+    # The in-kernel unroll costs ~2 cast blocks per wave node (the light
+    # and shadow-march loops are dynamic fori_loops, so they don't
+    # multiply program size). 63 nodes = a two-branch bounces=5 tree
+    # (sphere_plane.json at the reference CLI's settings) compiles in a
+    # few minutes (one-time, persistently cached); beyond that the
+    # composable wavefront takes over.
+    if _n_wave_nodes(bounces, soa.any_reflective, soa.any_transparent) > 63:
         return False
     return True
 
@@ -240,7 +245,7 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
         n_tab = len(_TABLE_NAMES)
         tabs = dict(zip(_TABLE_NAMES, rest[:n_tab]))
         (aabb_ref, plane_ref, sphere_ref, lights_ref, scal_ref,
-         out_ref, bt_s, bk_s, at_s, bits_s) = rest[n_tab:]
+         out_ref, bt_s, bk_s, at_s, mst_s, bits_s) = rest[n_tab:]
 
         i = pl.program_id(0)
         ambient = scal_ref[0, 0]
@@ -637,7 +642,15 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             # bounces x lights x steps (measured: the unrolled b5 kernel
             # took >8 min to compile).
             def light_body(li, acc):
-                accr, accg, accb = acc
+                if opaque:
+                    accr, accg, accb = acc
+                else:
+                    # accumulators live in scratch when the body contains
+                    # the march loop: Mosaic cannot legalize an scf.for
+                    # with vector carries around a nested loop
+                    accr = mst_s[:, 3:4]
+                    accg = mst_s[:, 4:5]
+                    accb = mst_s[:, 5:6]
                 kind = lights_ref[li, 0]
                 vx = lights_ref[li, 1]
                 vy = lights_ref[li, 2]
@@ -670,22 +683,33 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     occ = hit & (bt_s[:] > 0.0)
                     sh = jnp.where(occ, 1.0, 0.0)
                 else:
-                    def step_body(si, carry):
-                        sh, last, act = carry
+                    # march state lives in VMEM scratch, NOT loop
+                    # carries: Mosaic cannot legalize an scf.for with
+                    # vector carries nested inside another loop (the
+                    # light fori) — scalar-only carries lower fine.
+                    mst_s[:, 0:1] = jnp.zeros((tile_r, 1), jnp.float32)
+                    mst_s[:, 1:2] = jnp.zeros((tile_r, 1), jnp.float32)
+                    mst_s[:, 2:3] = jnp.where(hit, 1.0, 0.0)
+
+                    def step_body(si, _):
+                        sh = mst_s[:, 0:1]
+                        last = mst_s[:, 1:2]
+                        act = mst_s[:, 2:3] > 0.5
                         cast(px, py, pz, sdx, sdy, sdz, last + 1e-3,
                              full=False, primary=False)
                         st = bt_s[:]
                         stransp = at_s[:, _A_TRANSP:_A_TRANSP + 1]
                         okm = act & jnp.isfinite(st) & (st < light_dist)
                         sh = sh + jnp.where(okm, 1.0 - stransp, 0.0)
-                        last = jnp.where(okm, st, last)
-                        return sh, last, okm & (sh < 1.0)
+                        mst_s[:, 0:1] = sh
+                        mst_s[:, 1:2] = jnp.where(okm, st, last)
+                        mst_s[:, 2:3] = jnp.where(
+                            okm & (sh < 1.0), 1.0, 0.0
+                        )
+                        return 0
 
-                    sh, _, _ = jax.lax.fori_loop(
-                        0, shadow_steps, step_body,
-                        (jnp.zeros((tile_r, 1), jnp.float32),
-                         jnp.zeros((tile_r, 1), jnp.float32), hit),
-                    )
+                    jax.lax.fori_loop(0, shadow_steps, step_body, 0)
+                    sh = mst_s[:, 0:1]
                     sh = jnp.where(sh >= 1.0, 1.0, sh)
                 lit = sh < 1.0
 
@@ -708,11 +732,25 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 accr = accr + wgt * (fd * difr + fs * spec * difr) * lcr
                 accg = accg + wgt * (fd * difg + fs * spec * difg) * lcg
                 accb = accb + wgt * (fd * difb + fs * spec * difb) * lcb
-                return accr, accg, accb
+                if opaque:
+                    return accr, accg, accb
+                mst_s[:, 3:4] = accr
+                mst_s[:, 4:5] = accg
+                mst_s[:, 5:6] = accb
+                return 0
 
-            accr, accg, accb = jax.lax.fori_loop(
-                0, n_lights, light_body, (accr, accg, accb)
-            )
+            if opaque:
+                accr, accg, accb = jax.lax.fori_loop(
+                    0, n_lights, light_body, (accr, accg, accb)
+                )
+            else:
+                mst_s[:, 3:4] = accr
+                mst_s[:, 4:5] = accg
+                mst_s[:, 5:6] = accb
+                jax.lax.fori_loop(0, n_lights, light_body, 0)
+                accr = mst_s[:, 3:4]
+                accg = mst_s[:, 4:5]
+                accb = mst_s[:, 5:6]
 
             ph = (
                 jnp.where(hit, accr, 0.0),
@@ -831,7 +869,7 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
         n_tab = len(_TABLE_NAMES)
         tabs = dict(zip(_TABLE_NAMES, rest[:n_tab]))
         (aabb_ref, plane_ref, sphere_ref, lights_ref, scal_ref,
-         out_ref, bt_s, bk_s, at_s, bits_s) = rest[n_tab:]
+         out_ref, bt_s, bk_s, at_s, mst_s, bits_s) = rest[n_tab:]
 
         i = pl.program_id(0)
         ambient = scal_ref[0, 0]
@@ -1119,7 +1157,15 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             accb = ambient * difb
 
             def light_body(li, acc):
-                accr, accg, accb = acc
+                if opaque:
+                    accr, accg, accb = acc
+                else:
+                    # accumulators live in scratch when the body contains
+                    # the march loop: Mosaic cannot legalize an scf.for
+                    # with vector carries around a nested loop
+                    accr = mst_s[3:4, :]
+                    accg = mst_s[4:5, :]
+                    accb = mst_s[5:6, :]
                 kind = lights_ref[li, 0]
                 vx = lights_ref[li, 1]
                 vy = lights_ref[li, 2]
@@ -1150,22 +1196,31 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     occ = hit & (bt_s[:] > 0.0)
                     sh = jnp.where(occ, 1.0, 0.0)
                 else:
-                    def step_body(si, carry):
-                        sh, last, act = carry
+                    # march state in scratch rows, scalar-only carry
+                    # (see the sublane kernel's march for why)
+                    mst_s[0:1, :] = jnp.zeros((1, tile_r), jnp.float32)
+                    mst_s[1:2, :] = jnp.zeros((1, tile_r), jnp.float32)
+                    mst_s[2:3, :] = jnp.where(hit, 1.0, 0.0)
+
+                    def step_body(si, _):
+                        sh = mst_s[0:1, :]
+                        last = mst_s[1:2, :]
+                        act = mst_s[2:3, :] > 0.5
                         cast(px, py, pz, sdx, sdy, sdz, last + 1e-3,
                              full=False, primary=False)
                         st = bt_s[:]
                         stransp = at(_A_TRANSP)
                         okm = act & jnp.isfinite(st) & (st < light_dist)
                         sh = sh + jnp.where(okm, 1.0 - stransp, 0.0)
-                        last = jnp.where(okm, st, last)
-                        return sh, last, okm & (sh < 1.0)
+                        mst_s[0:1, :] = sh
+                        mst_s[1:2, :] = jnp.where(okm, st, last)
+                        mst_s[2:3, :] = jnp.where(
+                            okm & (sh < 1.0), 1.0, 0.0
+                        )
+                        return 0
 
-                    sh, _, _ = jax.lax.fori_loop(
-                        0, shadow_steps, step_body,
-                        (jnp.zeros((1, tile_r), jnp.float32),
-                         jnp.zeros((1, tile_r), jnp.float32), hit),
-                    )
+                    jax.lax.fori_loop(0, shadow_steps, step_body, 0)
+                    sh = mst_s[0:1, :]
                     sh = jnp.where(sh >= 1.0, 1.0, sh)
                 lit = sh < 1.0
 
@@ -1188,11 +1243,25 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 accr = accr + wgt * (fd * difr + fs * spec * difr) * lcr
                 accg = accg + wgt * (fd * difg + fs * spec * difg) * lcg
                 accb = accb + wgt * (fd * difb + fs * spec * difb) * lcb
-                return accr, accg, accb
+                if opaque:
+                    return accr, accg, accb
+                mst_s[3:4, :] = accr
+                mst_s[4:5, :] = accg
+                mst_s[5:6, :] = accb
+                return 0
 
-            accr, accg, accb = jax.lax.fori_loop(
-                0, n_lights, light_body, (accr, accg, accb)
-            )
+            if opaque:
+                accr, accg, accb = jax.lax.fori_loop(
+                    0, n_lights, light_body, (accr, accg, accb)
+                )
+            else:
+                mst_s[3:4, :] = accr
+                mst_s[4:5, :] = accg
+                mst_s[5:6, :] = accb
+                jax.lax.fori_loop(0, n_lights, light_body, 0)
+                accr = mst_s[3:4, :]
+                accg = mst_s[4:5, :]
+                accb = mst_s[5:6, :]
 
             ph = (
                 jnp.where(hit, accr, 0.0),
@@ -1324,6 +1393,7 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
                 pltpu.VMEM((1, tile_r), jnp.float32),   # best t / occ flag
                 pltpu.VMEM((1, tile_r), jnp.float32),   # best order key
                 pltpu.VMEM((16, tile_r), jnp.float32),  # winner attrs
+                pltpu.VMEM((8, tile_r), jnp.float32),   # light/march state
                 pltpu.SMEM((1,), jnp.int32),            # secondary cull bits
             ],
         )
@@ -1358,6 +1428,7 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
             pltpu.VMEM((tile_r, 1), jnp.float32),   # best t
             pltpu.VMEM((tile_r, 1), jnp.int32),     # best order key
             pltpu.VMEM((tile_r, 16), jnp.float32),  # winner attrs
+            pltpu.VMEM((tile_r, 8), jnp.float32),   # light/march state
             pltpu.SMEM((-(-m // 32),), jnp.int32),  # secondary cull bits
         ],
     )

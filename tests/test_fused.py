@@ -57,8 +57,9 @@ def _compare(base, out, names=("color", "depth", "normal"), atol=1e-4,
         ("triangle.json", 5),     # no branches
         ("bunny.json", 3),        # reflection chain, 4 lights, mesh+planes
         ("mirror.json", 3),       # strong mirrors, 2 lights
-        ("sphere_plane.json", 2), # reflective AND transparent (tree),
-                                  # spheres + transparency shadow march
+        ("sphere_plane.json", 3), # reflective AND transparent (15-node
+                                  # tree), spheres + transparency shadow
+                                  # march
     ],
 )
 def test_fused_matches_composable(scenes_dir, scene, bounces):
@@ -69,12 +70,18 @@ def test_fused_matches_composable(scenes_dir, scene, bounces):
 
 
 def test_fused_out_of_scope_falls_back(scenes_dir):
-    """sphere_plane at bounce depth 5 (two-branch tree) is out of kernel
-    scope — render() must fall back to the composable culling cast and
-    still match brute force."""
-    soa = _load(scenes_dir, "sphere_plane.json", 32, 16)
-    base = render(prepare(soa, accel="none"), bounces=5)
-    out = render(prepare(soa, accel="fused"), bounces=5)
+    """sphere_plane at bounce depth 6 (127-node two-branch tree) exceeds
+    the fused kernel's 63-node unroll budget — render() must fall back to
+    the composable culling cast and still match brute force. (Depth 5 =
+    63 nodes is IN scope since round 2 and covered by the parity suite.)"""
+    from cutrace_tpu.ops.fused import fused_supported
+
+    soa = _load(scenes_dir, "sphere_plane.json", 16, 8)
+    prepared = prepare(soa, accel="fused")
+    assert fused_supported(soa, prepared.accel, 5)
+    assert not fused_supported(soa, prepared.accel, 6)
+    base = render(prepare(soa, accel="none"), bounces=6)
+    out = render(prepared, bounces=6)
     _compare(base, out, atol=1e-4)
 
 
