@@ -1386,7 +1386,7 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
             + [const((c, m)) for _ in _TABLE_NAMES]
             + [const((m, _AABB_ROWS)), const((n_pl, _PS_ROWS)),
                const((n_sp, _PS_ROWS)),
-               smem((n_lights, 8)), smem((1, 4))],
+               smem((max(1, n_lights), 8)), smem((1, 4))],
             out_specs=pl.BlockSpec((8, tile_r), lambda i, s: (0, i),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -1421,7 +1421,7 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
         + [const((m, c)) for _ in _TABLE_NAMES]
         + [const((_AABB_ROWS, m)), const((_PS_ROWS, n_pl)),
            const((_PS_ROWS, n_sp)),
-           smem((n_lights, 8)), smem((1, 4))],
+           smem((max(1, n_lights), 8)), smem((1, 4))],
         out_specs=pl.BlockSpec((tile_r, 8), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

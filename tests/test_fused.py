@@ -176,3 +176,16 @@ def test_subdivided_mesh_renders_identically(scenes_dir):
             ob.vertices = subdivide(ob.vertices, 2)
     out = render(prepare(sc, accel="fused"), bounces=1)
     _compare(base, out, atol=2e-4, edge_budget=0.10)
+
+
+def test_fused_no_lights(scenes_dir):
+    """A scene with zero lights must render (ambient-only) through the
+    fused kernel: the lights SMEM operand shaped (0, 8) crashed the TPU
+    compiler (SIGFPE in window-param setup) before the max(1, .) guard."""
+    sc = load_scene(scenes_dir / "bunny.json")
+    sc.camera.width, sc.camera.height = 32, 18
+    sc.lights = []
+    soa = scene_to_soa(sc)
+    base = render(prepare(soa, accel="none"), bounces=2)
+    out = render(prepare(soa, accel="fused"), bounces=2)
+    _compare(base, out, atol=2e-4)
