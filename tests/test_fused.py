@@ -189,3 +189,23 @@ def test_fused_no_lights(scenes_dir):
     base = render(prepare(soa, accel="none"), bounces=2)
     out = render(prepare(soa, accel="fused"), bounces=2)
     _compare(base, out, atol=2e-4)
+
+
+def test_prepare_picks_lanes_friendly_cluster_size(scenes_dir):
+    """prepare() chooses the smallest cluster size that keeps the
+    partition inside the rays-on-lanes kernel's M <= 32 static unroll
+    (finer clusters cull more per visit), and C=128 beyond that range."""
+    from cutrace_tpu.ops.fused import _LANES_MAX_M
+    from cutrace_tpu.scene.mesh_io import subdivide
+
+    sc = load_scene(scenes_dir / "bunny.json")  # 1000 tris
+    p = prepare(scene_to_soa(sc), accel="fused")
+    m, c = p.accel.order.shape
+    assert c == 64 and m <= _LANES_MAX_M
+
+    for ob in sc.objects:
+        if type(ob).__name__ == "Mesh":
+            ob.vertices = subdivide(ob.vertices, 2)  # 16k tris
+    p = prepare(sc, accel="fused")
+    m, c = p.accel.order.shape
+    assert c == 128 and m > _LANES_MAX_M
