@@ -93,9 +93,17 @@ def fit(
     `checkpoint_every` steps and training resumes from the newest
     checkpoint automatically (diff/checkpoint.py).
 
-    `accel`: "none", "clusters", "pallas", "auto" (pallas on TPU when the
-    scene has enough triangles, else none), or a prebuilt ops.bvh.Accel.
-    With PRIM_AXIS > 1 the partition is built per triangle shard."""
+    `accel`: "none", "clusters", "pallas", "fused", "auto" (pallas on TPU
+    when the scene has enough triangles, else none), or a prebuilt
+    ops.bvh.Accel. With PRIM_AXIS > 1 the partition is built per triangle
+    shard. A "fused" accel on a tiles-only mesh runs the forward pass
+    through the fused whole-pipeline kernel; it is supported (gradients
+    identical — the custom_vjp backward differentiates the composable
+    pipeline) but NOT the training default: under value_and_grad the
+    backward re-runs the composable forward for residuals, so the fused
+    forward is pure extra work (measured 5.8 vs 3.2 s/step on bunny
+    192x108 b2). Prefer it only for inference-heavy loops that render far
+    more often than they differentiate."""
     if isinstance(accel, str):
         if accel == "auto":
             on_tpu = jax.default_backend() == "tpu"

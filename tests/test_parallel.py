@@ -147,3 +147,22 @@ def test_sharded_render_fused_kernel(scenes_dir):
         bad = ~ok.reshape(a.shape[0], a.shape[1], -1).all(-1)
         off = bad & ~discontinuity_mask(a)
         assert off.sum() == 0, f"{name}: {off.sum()} mismatches off edges"
+
+
+def test_distributed_fit_fused_forward(scenes_dir):
+    """fit() with a fused-kind accel on a tiles-only mesh: the forward
+    pass runs the fused kernel, the custom_vjp backward differentiates
+    the composable pipeline — training must converge exactly like the
+    composable forward."""
+    sc = load_scene(scenes_dir / "mirror.json")
+    sc.camera.width, sc.camera.height = 16, 8
+    soa = scene_to_soa(sc)
+    target, _, _ = render_image_flat(soa, 1, 1e-3)
+    corrupt = dataclasses.replace(
+        soa, mat_color=jnp.clip(soa.mat_color * 0.6 + 0.1, 0.0, 1.0)
+    )
+    params, losses = fit(
+        corrupt, target, make_mesh(8, 1), steps=40, lr=5e-2,
+        bounces=1, param_filter=("mat_color",), accel="fused",
+    )
+    assert losses[-1] < losses[0] * 0.1, f"fit did not converge: {losses}"
