@@ -179,4 +179,16 @@ def test_pallas_kernel_streamed_chunks(bunny, monkeypatch):
     assert (np.asarray(ref.obj) == np.asarray(out.obj)).all()
     a, b = np.asarray(ref.t), np.asarray(out.t)
     assert ((np.abs(a - b) < 1e-4) | (np.isinf(a) & np.isinf(b))).all()
+
+    # vertex gradients flow through the streamed path identically (the
+    # kernel only picks winners; geometry is re-gathered from live soa)
+    from cutrace_tpu.diff.grad import grad_render_loss
+
+    target = jnp.zeros((soa.height * soa.width, 3), jnp.float32)
+    _, g_ref = grad_render_loss(soa, target, bounces=1)
+    _, g_acc = grad_render_loss(soa, target, bounces=1, accel=accel)
+    a = np.asarray(g_ref["tri_p1"])
+    b = np.asarray(g_acc["tri_p1"])
+    assert np.abs(a).sum() > 1e-4
+    assert np.allclose(a, b, rtol=1e-3, atol=1e-5)
     pallas_cast._run_cast.clear_cache()  # drop the chunked-path traces
