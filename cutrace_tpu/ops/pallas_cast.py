@@ -291,9 +291,28 @@ def _run_cast(consts, bmin, bmax, o, d, min_dist, interpret, tile_r=TILE_R):
     bmin_s = stk(padm(bmin, 1.0e8))
     bmax_s = stk(padm(bmax, 1.0e8))
 
+    r_pad = rays.shape[0]
+
     def body(chunk):
         consts_c, bmn, bmx = chunk
-        return _cast_resident(consts_c, bmn, bmx, rays, interpret, tile_r)
+        # conditional chunk execution: when no ray tile touches any live
+        # cluster of this chunk, skip the kernel entirely — XLA's cond
+        # runs only the taken branch, so the chunk's tables are never
+        # DMA'd to VMEM (the slab test below reads only the (M_CHUNK, 3)
+        # AABBs). Localized queries touch a few chunks of a huge scene.
+        from cutrace_tpu.ops.bvh import slab_test
+
+        live = (consts_c["valid"] > 0.0).any(axis=1)
+        any_hit = jnp.any(
+            slab_test(bmn, bmx, rays[:, 0:3], rays[:, 3:6]) & live[None, :]
+        )
+        return jax.lax.cond(
+            any_hit,
+            lambda: _cast_resident(consts_c, bmn, bmx, rays, interpret,
+                                   tile_r),
+            lambda: (jnp.full((r_pad,), jnp.inf, jnp.float32),
+                     jnp.full((r_pad,), _BIG, jnp.int32)),
+        )
 
     ts, orders = jax.lax.map(body, (consts_s, bmin_s, bmax_s))  # (K, R_pad)
     t_best = jnp.min(ts, axis=0)
