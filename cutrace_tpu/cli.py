@@ -129,14 +129,27 @@ def main(argv=None) -> int:
     # kernel.hpp:105-108 — time only the post-compile run for parity).
     # The persistent compile cache makes this near-free on later runs.
     compile_start = time.perf_counter()
-    jax.block_until_ready(render(prepared, bounces=args.bounces, fudge=1e-3))
-    compile_ms = (time.perf_counter() - compile_start) * 1000.0
-    render_start = time.perf_counter()
     color, depth, normal = render(prepared, bounces=args.bounces, fudge=1e-3)
-    jax.block_until_ready((color, depth, normal))
+    color = np.asarray(color)  # device_get forces real completion
+    compile_ms = (time.perf_counter() - compile_start) * 1000.0
+
+    # Timing run with a perturbed traced input: the dev tunnel serves a
+    # repeat of an identical (executable, args) execution from a result
+    # cache and its block_until_ready can return early, so the honest
+    # render_ms comes from a distinct execution ended by a small
+    # device_get (docs/performance.md "Measurement discipline"). The
+    # 1e-9-ambient image is discarded; outputs come from the run above.
+    import dataclasses
+
+    soa_t = dataclasses.replace(
+        prepared.soa, ambient=prepared.soa.ambient + 1e-9
+    )
+    prep_t = dataclasses.replace(prepared, soa=soa_t)
+    render_start = time.perf_counter()
+    out_t = render(prep_t, bounces=args.bounces, fudge=1e-3)
+    np.asarray(out_t[1][0, :8])
     render_ms = (time.perf_counter() - render_start) * 1000.0
 
-    color = np.asarray(color)
     depth = np.asarray(depth)
     normal = np.asarray(normal)
     max_d = images.max_finite_depth(depth)
