@@ -35,11 +35,11 @@ from cutrace_tpu.scene import types as T
 
 
 def _f32(x):
-    return jnp.asarray(np.asarray(x, dtype=np.float32))
+    return np.asarray(x, dtype=np.float32)
 
 
 def _i32(x):
-    return jnp.asarray(np.asarray(x, dtype=np.int32))
+    return np.asarray(x, dtype=np.int32)
 
 
 @jax.tree_util.register_dataclass
@@ -289,24 +289,27 @@ def scene_to_soa(scene: T.Scene, shadow_steps: int = 16) -> SceneArrays:
             stacklevel=2,
         )
 
-    return SceneArrays(
+    # Build every leaf as numpy, then upload the WHOLE pytree in one
+    # jax.device_put: per-field transfers cost a round trip each over the
+    # dev tunnel (~10 s for a 16k-triangle scene; batched: one trip).
+    return jax.device_put(SceneArrays(
         tri_p1=_f32(tri_p1),
         tri_p2=_f32(tri_p2),
         tri_p3=_f32(tri_p3),
         tri_mat=_i32(pad1(tmat, np.int32)),
         tri_obj=_i32(pad1(tobj, np.int32)),
         tri_mesh=_i32(pad1(tmesh, np.int32)),
-        tri_valid=jnp.asarray(tri_valid),
+        tri_valid=np.asarray(tri_valid),
         pl_point=_f32(pl_point),
         pl_normal=_f32(pl_normal),
         pl_mat=_i32(pad1(plm, np.int32)),
         pl_obj=_i32(pad1(plo, np.int32)),
-        pl_valid=jnp.asarray(pl_valid),
+        pl_valid=np.asarray(pl_valid),
         sp_center=_f32(sp_center),
         sp_radius=_f32(pad1(spr, np.float32, 1)),
         sp_mat=_i32(pad1(spm, np.int32)),
         sp_obj=_i32(pad1(spo, np.int32)),
-        sp_valid=jnp.asarray(sp_valid),
+        sp_valid=np.asarray(sp_valid),
         mat_color=_f32(mat_color),
         mat_specular=_f32(mat_specular),
         mat_reflect=_f32(mat_reflect),
@@ -315,7 +318,7 @@ def scene_to_soa(scene: T.Scene, shadow_steps: int = 16) -> SceneArrays:
         light_kind=_i32(light_kind),
         light_vec=_f32(light_vec),
         light_color=_f32(light_color),
-        light_valid=jnp.asarray(light_valid),
+        light_valid=np.asarray(light_valid),
         scene_center=_f32(scene_center),
         cam_eye=_f32(cam.eye),
         cam_forward=_f32(forward),
@@ -331,4 +334,4 @@ def scene_to_soa(scene: T.Scene, shadow_steps: int = 16) -> SceneArrays:
         shadow_steps=min(max(exact_steps, 1), shadow_steps),
         n_planes=len(plp),
         n_spheres=len(spc),
-    )
+    ))
