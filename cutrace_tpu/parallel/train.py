@@ -93,22 +93,19 @@ def fit(
     `checkpoint_every` steps and training resumes from the newest
     checkpoint automatically (diff/checkpoint.py).
 
-    `accel`: "none", "clusters", "pallas", "fused", "auto" (pallas on TPU
+    `accel`: "none", "clusters", "pallas", "fused", "auto" (fused on TPU
     when the scene has enough triangles, else none), or a prebuilt
     ops.bvh.Accel. With PRIM_AXIS > 1 the partition is built per triangle
     shard. A "fused" accel on a tiles-only mesh runs the forward pass
-    through the fused whole-pipeline kernel; it is supported (gradients
-    identical — the custom_vjp backward differentiates the composable
-    pipeline) but NOT the training default: under value_and_grad the
-    backward re-runs the composable forward for residuals, so the fused
-    forward is pure extra work (measured 5.8 vs 3.2 s/step on bunny
-    192x108 b2). Prefer it only for inference-heavy loops that render far
-    more often than they differentiate."""
+    through the fused whole-pipeline kernel; gradients are identical (the
+    kernel's custom_vjp backward differentiates the composable pipeline)
+    and the steady-state step is faster (measured 55 vs 68 ms/step on
+    bunny 192x108 b2 on one v5e chip; first-step compile is larger)."""
     if isinstance(accel, str):
         if accel == "auto":
             on_tpu = jax.default_backend() == "tpu"
             big = int(soa.tri_p1.shape[0]) >= 256
-            accel = "pallas" if (on_tpu and big) else "none"
+            accel = "fused" if (on_tpu and big) else "none"
         accel = (
             None if accel == "none"
             else sh.build_sharded_accel(soa, mesh, kind=accel)
