@@ -90,3 +90,24 @@ def test_random_scene_grads_finite(seed):
     assert np.isfinite(float(loss))
     for k, g in grads.items():
         assert np.isfinite(np.asarray(g)).all(), f"seed {seed}: {k}"
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_random_scene_fused_matches_composable(seed):
+    """The fused whole-pipeline kernel (interpret) must agree with the
+    composable renderer on random scenes — mixed primitive kinds,
+    reflective + transparent materials (two-branch trees), sun + point
+    lights, in one kernel."""
+    from cutrace_tpu.render.renderer import prepare
+    from cutrace_tpu.scene.soa import scene_to_soa
+
+    rng = np.random.default_rng(seed)
+    scene = random_scene(rng)
+    bounces = 2
+    soa = scene_to_soa(scene)
+    base = render(prepare(soa, accel="none"), bounces=bounces)
+    out = render(prepare(soa, accel="fused"), bounces=bounces)
+    kw = dict(edge_budget=0.12, off_edge_budget=0.01)
+    for a, b, name in zip(base, out, ("color", "depth", "normal")):
+        assert_image_close(b, np.asarray(a), f"seed{seed}/fused/{name}",
+                           **kw)
