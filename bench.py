@@ -30,9 +30,10 @@ try:
 except Exception:
     pass
 
-# Best prior recorded TPU v5e measurement (round 2, fused lanes kernel).
-# Update only upward: vs_baseline >= 1.0 means "no regression".
-BASELINE_MCASTS_PER_S = 134.0
+# Best prior recorded TPU v5e measurement (round 2, fused lanes kernel +
+# alive-masked culls). Update only upward: vs_baseline >= 1.0 means "no
+# regression".
+BASELINE_MCASTS_PER_S = 136.0
 
 WIDTH, HEIGHT, BOUNCES = 1920, 1080, 5
 

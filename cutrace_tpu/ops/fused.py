@@ -230,7 +230,7 @@ def _ceil_to(x, m):
 
 def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                  any_refl, any_transp, tile_r, secondary_cull,
-                 has_planes, has_spheres):
+                 has_planes, has_spheres, node_skip=True):
     """Build the fused kernel body (python-specialized on static config).
 
     `has_planes`/`has_spheres` statically elide whole primitive kinds
@@ -245,7 +245,7 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
         n_tab = len(_TABLE_NAMES)
         tabs = dict(zip(_TABLE_NAMES, rest[:n_tab]))
         (aabb_ref, plane_ref, sphere_ref, lights_ref, scal_ref,
-         out_ref, bt_s, bk_s, at_s, mst_s, bits_s) = rest[n_tab:]
+         out_ref, bt_s, bk_s, at_s, mst_s, tree_s, bits_s) = rest[n_tab:]
 
         i = pl.program_id(0)
         ambient = scal_ref[0, 0]
@@ -262,11 +262,16 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             return jnp.sqrt(x * x + y * y + z * z)
 
         def cast(cox, coy, coz, cdx, cdy, cdz, mind, full, primary,
-                 ldist=None):
+                 ldist=None, alive=None):
             """Nearest hit over all kinds. Results land in bt_s (t) and
             at_s (winner attrs); returns nothing. `full` selects all attr
             columns vs obj+transparency only; `primary` uses the prefetch
             cull bitmask, secondaries the in-kernel one.
+
+            `alive` ((tile_r, 1) bool) drops dead rays (missed earlier /
+            zero weight / inactive march lane) from the in-kernel cull —
+            output-invariant because every consumer multiplies a dead
+            ray's result by an exact 0 (see the lanes kernel's cast).
 
             `ldist` switches to an any-hit OCCLUSION query (opaque-scene
             shadows): only "does any valid t in (mind, ldist) exist" is
@@ -323,6 +328,8 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     if occl:
                         # clusters entirely beyond the light can't occlude
                         cond &= tmn < ldist
+                    if alive is not None:
+                        cond &= alive  # (tile_r, 1) over (tile_r, M)
                     anyhit = jnp.max(
                         jnp.where(cond, 1.0, 0.0), axis=0, keepdims=True
                     )  # (1, M)
@@ -335,10 +342,17 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     # A cluster is culled only if NO ray in the bounding
                     # box of the tile's rays can touch it (superset mask:
                     # always safe, tight for coherent tiles).
+                    # dead rays drop out of the ray-bounding intervals
+                    # (all-dead tile: bounds go +-inf, the NaN widening
+                    # below keeps the mask conservative = everything)
                     def rmin(x):
+                        if alive is not None:
+                            x = jnp.where(alive, x, inf)
                         return jnp.min(x, axis=0, keepdims=True)  # (1, 1)
 
                     def rmax(x):
+                        if alive is not None:
+                            x = jnp.where(alive, x, -inf)
                         return jnp.max(x, axis=0, keepdims=True)
 
                     def imul_bounds(x_lo, x_hi, y_lo, y_hi):
@@ -679,7 +693,8 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     # any-hit occlusion query decides the march
                     cast(px, py, pz, sdx, sdy, sdz,
                          jnp.zeros((tile_r, 1), jnp.float32) + 1e-3,
-                         full=False, primary=False, ldist=light_dist)
+                         full=False, primary=False, ldist=light_dist,
+                         alive=hit)
                     occ = hit & (bt_s[:] > 0.0)
                     sh = jnp.where(occ, 1.0, 0.0)
                 else:
@@ -696,7 +711,7 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                         last = mst_s[:, 1:2]
                         act = mst_s[:, 2:3] > 0.5
                         cast(px, py, pz, sdx, sdy, sdz, last + 1e-3,
-                             full=False, primary=False)
+                             full=False, primary=False, alive=act)
                         st = bt_s[:]
                         stransp = at_s[:, _A_TRANSP:_A_TRANSP + 1]
                         okm = act & jnp.isfinite(st) & (st < light_dist)
@@ -759,36 +774,32 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             )
             return ph, hit, t_safe, (nnx, nny, nnz), at
 
-        # ---- bounce tree, statically unrolled (render/shading.py) ----
-        crr = jnp.zeros((tile_r, 1), jnp.float32)
-        crg = jnp.zeros((tile_r, 1), jnp.float32)
-        crb = jnp.zeros((tile_r, 1), jnp.float32)
+        # ---- bounce tree: DEPTH-FIRST unroll with tile-dead skipping ----
+        # (see the lanes kernel's tree for the full rationale; identical
+        # structure on (tile_r, 1) columns, tree_s is (tile_r, 8(b+1)))
         ones = jnp.ones((tile_r, 1), jnp.float32)
-        nodes = [((ox, oy, oz), (dx, dy, dz), ones, mind0)]
+        tree_s[:, 0:3] = jnp.zeros((tile_r, 3), jnp.float32)
 
-        for level in range(bounces + 1):
-            last = level == bounces or not (any_refl or any_transp)
-            new_nodes = []
-            for node_i, (o3, d3, w, mind) in enumerate(nodes):
-                nd3 = cast(*o3, *d3, mind, full=True,
-                           primary=(level == 0 and node_i == 0))
-                ph, hit, t_safe, nn3, at = shade(
-                    o3, d3, nd3, level_first=(level == 0 and node_i == 0)
-                )
-                if last:
-                    crr = crr + w * ph[0]
-                    crg = crg + w * ph[1]
-                    crb = crb + w * ph[2]
-                    continue
+        def do_node(level, o3, d3, w, mind, root):
+            def body():
+                nd3 = cast(*o3, *d3, mind, full=True, primary=root,
+                           alive=None if root else (w > 0.0))
+                ph, hit, t_safe, nn3, at = shade(o3, d3, nd3,
+                                                 level_first=root)
+                if level == bounces or not (any_refl or any_transp):
+                    tree_s[:, 0:1] += w * ph[0]
+                    tree_s[:, 1:2] += w * ph[1]
+                    tree_s[:, 2:3] += w * ph[2]
+                    return
                 if any_transp:
                     tr = at[:, _A_TRANSP:_A_TRANSP + 1]
                     f = jnp.where(hit & (tr >= _EPS), tr, 0.0)
                 else:
                     f = jnp.zeros((tile_r, 1), jnp.float32)
                 weff = w * (1.0 - f)
-                crr = crr + weff * ph[0]
-                crg = crg + weff * ph[1]
-                crb = crb + weff * ph[2]
+                tree_s[:, 0:1] += weff * ph[0]
+                tree_s[:, 1:2] += weff * ph[1]
+                tree_s[:, 2:3] += weff * ph[2]
                 # child origin = o + t_safe * RAW d for every kind
                 # (shading.hpp:131,144 / render.shading.ray_color) — note
                 # this differs from the sphere's shading point, which uses
@@ -798,28 +809,50 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 chy = o3[1] + t_safe * d3[1]
                 chz = o3[2] + t_safe * d3[2]
                 fmin = jnp.full((tile_r, 1), 0.0, jnp.float32) + fudge
+                if any_refl and any_transp:
+                    c0 = 8 * (level + 1)
+                    tree_s[:, c0 + 0:c0 + 1] = chx
+                    tree_s[:, c0 + 1:c0 + 2] = chy
+                    tree_s[:, c0 + 2:c0 + 3] = chz
+                    tree_s[:, c0 + 3:c0 + 4] = d3[0]
+                    tree_s[:, c0 + 4:c0 + 5] = d3[1]
+                    tree_s[:, c0 + 5:c0 + 6] = d3[2]
+                    tree_s[:, c0 + 6:c0 + 7] = w * f
                 if any_refl:
                     rf = at[:, _A_REFL:_A_REFL + 1]
                     r = jnp.where(hit & (rf >= _EPS), rf, 0.0)
                     nnx, nny, nnz = nn3
                     ndx, ndy, ndz = nd3
                     dot = ndx * nnx + ndy * nny + ndz * nnz
-                    rdx = ndx - 2.0 * dot * nnx
-                    rdy = ndy - 2.0 * dot * nny
-                    rdz = ndz - 2.0 * dot * nnz
-                    new_nodes.append(
-                        (((chx, chy, chz)), (rdx, rdy, rdz),
-                         w * (1.0 - f) * r, fmin)
-                    )
-                if any_transp:
-                    new_nodes.append(((chx, chy, chz), d3, w * f, fmin))
-            nodes = new_nodes
-            if not nodes:
-                break
+                    rd = (ndx - 2.0 * dot * nnx, ndy - 2.0 * dot * nny,
+                          ndz - 2.0 * dot * nnz)
+                    do_node(level + 1, (chx, chy, chz), rd, weff * r,
+                            fmin, False)
+                if any_refl and any_transp:
+                    c0 = 8 * (level + 1)
+                    to3 = (tree_s[:, c0 + 0:c0 + 1],
+                           tree_s[:, c0 + 1:c0 + 2],
+                           tree_s[:, c0 + 2:c0 + 3])
+                    td3 = (tree_s[:, c0 + 3:c0 + 4],
+                           tree_s[:, c0 + 4:c0 + 5],
+                           tree_s[:, c0 + 5:c0 + 6])
+                    do_node(level + 1, to3, td3,
+                            tree_s[:, c0 + 6:c0 + 7], fmin, False)
+                elif any_transp:
+                    do_node(level + 1, (chx, chy, chz), d3, w * f,
+                            fmin, False)
 
-        out_ref[:, 0:1] = crr
-        out_ref[:, 1:2] = crg
-        out_ref[:, 2:3] = crb
+            if root or not node_skip:
+                body()
+            else:
+                @pl.when(jnp.max(w) > 0.0)
+                def _():
+                    body()
+
+        do_node(0, (ox, oy, oz), (dx, dy, dz), ones, mind0, True)
+        out_ref[:, 0:1] = tree_s[:, 0:1]
+        out_ref[:, 1:2] = tree_s[:, 1:2]
+        out_ref[:, 2:3] = tree_s[:, 2:3]
         out_ref[:, 7:8] = jnp.zeros((tile_r, 1), jnp.float32)
 
     return kernel
@@ -858,7 +891,7 @@ _EXACT_CULL_MAX_M = 2048
 
 def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                        any_refl, any_transp, tile_r,
-                       has_planes, has_spheres):
+                       has_planes, has_spheres, node_skip=True):
     """Rays-on-lanes kernel body (see block comment above). Operand
     layouts: rays/out (8, tile_r); triangle tables (C, M); aabb (M, 8);
     plane/sphere tables (P|S, 24)."""
@@ -869,7 +902,7 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
         n_tab = len(_TABLE_NAMES)
         tabs = dict(zip(_TABLE_NAMES, rest[:n_tab]))
         (aabb_ref, plane_ref, sphere_ref, lights_ref, scal_ref,
-         out_ref, bt_s, bk_s, at_s, mst_s, bits_s) = rest[n_tab:]
+         out_ref, bt_s, bk_s, at_s, mst_s, tree_s, bits_s) = rest[n_tab:]
 
         i = pl.program_id(0)
         ambient = scal_ref[0, 0]
@@ -892,10 +925,20 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             return at_s[j:j + 1, :]
 
         def cast(cox, coy, coz, cdx, cdy, cdz, mind, full, primary,
-                 ldist=None):
+                 ldist=None, alive=None):
             """Nearest hit over all kinds (rays-on-lanes layout). Winner t
             lands in bt_s (1, R), attrs in at_s (16, R). `ldist` switches
-            to the any-hit occlusion query (see the sublane kernel)."""
+            to the any-hit occlusion query (see the sublane kernel).
+
+            `alive` ((1, R) bool) marks rays whose result is consumed:
+            dead rays (missed at an earlier level / zero bounce weight /
+            inactive march lane) are dropped from the in-kernel cluster
+            cull so they stop inflating the visit mask. Their winner then
+            flips from garbage-hit to miss, which is output-invariant:
+            every consumer multiplies by a weight that is exactly 0 for a
+            dead ray (shade masks by `hit`, spawn weights carry w=0, march
+            accumulation masks by `act`), and all winner fields stay
+            finite either way (no NaN * 0)."""
             occl = ldist is not None
             if occl:
                 bt_s[:] = jnp.zeros((1, tile_r), jnp.float32)
@@ -942,6 +985,8 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 cond = tmn <= tmx
                 if occl:
                     cond &= tmn < ldist
+                if alive is not None:
+                    cond &= alive  # (1, R) broadcast over (M, R)
                 anyhit = jnp.max(
                     jnp.where(cond, 1.0, 0.0), axis=1, keepdims=True
                 )  # (M, 1)
@@ -1192,7 +1237,8 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 if opaque:
                     cast(px, py, pz, sdx, sdy, sdz,
                          jnp.zeros((1, tile_r), jnp.float32) + 1e-3,
-                         full=False, primary=False, ldist=light_dist)
+                         full=False, primary=False, ldist=light_dist,
+                         alive=hit)
                     occ = hit & (bt_s[:] > 0.0)
                     sh = jnp.where(occ, 1.0, 0.0)
                 else:
@@ -1207,7 +1253,7 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                         last = mst_s[1:2, :]
                         act = mst_s[2:3, :] > 0.5
                         cast(px, py, pz, sdx, sdy, sdz, last + 1e-3,
-                             full=False, primary=False)
+                             full=False, primary=False, alive=act)
                         st = bt_s[:]
                         stransp = at(_A_TRANSP)
                         okm = act & jnp.isfinite(st) & (st < light_dist)
@@ -1276,64 +1322,97 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             # here from the values loaded above.
             return ph, hit, t_safe, (nnx, nny, nnz)
 
-        # ---- bounce tree, statically unrolled (render/shading.py) ----
-        crr = jnp.zeros((1, tile_r), jnp.float32)
-        crg = jnp.zeros((1, tile_r), jnp.float32)
-        crb = jnp.zeros((1, tile_r), jnp.float32)
+        # ---- bounce tree: DEPTH-FIRST unroll with tile-dead skipping ----
+        # (render/shading.py semantics; same weighted-sum linearization,
+        # contributions now accumulate in depth-first instead of level
+        # order — a few-ulp fp difference only.)
+        #
+        # A non-root node is alive for this tile only if some ray carries
+        # nonzero weight into it: its exact reflect/transmit prefix hit
+        # reflective/transparent geometry at every level. For two-branch
+        # trees (2^(b+1)-1 nodes) almost every node is dead for almost
+        # every tile; chains die where rays leave the scene. Each non-root
+        # node's cast + shadows + whole SUBTREE runs under
+        # @pl.when(max weight > 0): one ~1us vector->scalar sync buys
+        # skipping the node's casts (5-15us) when dead. pl.when bodies
+        # can't return values, so color accumulates into tree_s rows 0-2,
+        # and the transparency child's frame is parked in tree_s rows
+        # 8(L+1).. across the reflection subtree (keeps register pressure
+        # flat in depth).
         ones = jnp.ones((1, tile_r), jnp.float32)
-        nodes = [((ox, oy, oz), (dx, dy, dz), ones, mind0)]
+        tree_s[0:3, :] = jnp.zeros((3, tile_r), jnp.float32)
 
-        for level in range(bounces + 1):
-            last = level == bounces or not (any_refl or any_transp)
-            new_nodes = []
-            for node_i, (o3, d3, w, mind) in enumerate(nodes):
-                nd3 = cast(*o3, *d3, mind, full=True,
-                           primary=(level == 0 and node_i == 0))
+        def do_node(level, o3, d3, w, mind, root):
+            def body():
+                nd3 = cast(*o3, *d3, mind, full=True, primary=root,
+                           alive=None if root else (w > 0.0))
                 # capture spawn-relevant winner attrs BEFORE the shadow
                 # casts inside shade() overwrite at_s (non-opaque path)
                 a_transp = at(_A_TRANSP)
                 a_refl = at(_A_REFL)
-                ph, hit, t_safe, nn3 = shade(
-                    o3, d3, nd3, level_first=(level == 0 and node_i == 0)
-                )
-                if last:
-                    crr = crr + w * ph[0]
-                    crg = crg + w * ph[1]
-                    crb = crb + w * ph[2]
-                    continue
+                ph, hit, t_safe, nn3 = shade(o3, d3, nd3, level_first=root)
+                if level == bounces or not (any_refl or any_transp):
+                    tree_s[0:1, :] += w * ph[0]
+                    tree_s[1:2, :] += w * ph[1]
+                    tree_s[2:3, :] += w * ph[2]
+                    return
                 if any_transp:
                     f = jnp.where(hit & (a_transp >= _EPS), a_transp, 0.0)
                 else:
                     f = jnp.zeros((1, tile_r), jnp.float32)
                 weff = w * (1.0 - f)
-                crr = crr + weff * ph[0]
-                crg = crg + weff * ph[1]
-                crb = crb + weff * ph[2]
+                tree_s[0:1, :] += weff * ph[0]
+                tree_s[1:2, :] += weff * ph[1]
+                tree_s[2:3, :] += weff * ph[2]
                 chx = o3[0] + t_safe * d3[0]
                 chy = o3[1] + t_safe * d3[1]
                 chz = o3[2] + t_safe * d3[2]
                 fmin = jnp.full((1, tile_r), 0.0, jnp.float32) + fudge
+                if any_refl and any_transp:
+                    # park the transparency child's frame across the
+                    # reflection subtree
+                    r0 = 8 * (level + 1)
+                    tree_s[r0 + 0:r0 + 1, :] = chx
+                    tree_s[r0 + 1:r0 + 2, :] = chy
+                    tree_s[r0 + 2:r0 + 3, :] = chz
+                    tree_s[r0 + 3:r0 + 4, :] = d3[0]
+                    tree_s[r0 + 4:r0 + 5, :] = d3[1]
+                    tree_s[r0 + 5:r0 + 6, :] = d3[2]
+                    tree_s[r0 + 6:r0 + 7, :] = w * f
                 if any_refl:
                     r = jnp.where(hit & (a_refl >= _EPS), a_refl, 0.0)
                     nnx, nny, nnz = nn3
                     ndx, ndy, ndz = nd3
                     dot = ndx * nnx + ndy * nny + ndz * nnz
-                    rdx = ndx - 2.0 * dot * nnx
-                    rdy = ndy - 2.0 * dot * nny
-                    rdz = ndz - 2.0 * dot * nnz
-                    new_nodes.append(
-                        (((chx, chy, chz)), (rdx, rdy, rdz),
-                         w * (1.0 - f) * r, fmin)
-                    )
-                if any_transp:
-                    new_nodes.append(((chx, chy, chz), d3, w * f, fmin))
-            nodes = new_nodes
-            if not nodes:
-                break
+                    rd = (ndx - 2.0 * dot * nnx, ndy - 2.0 * dot * nny,
+                          ndz - 2.0 * dot * nnz)
+                    do_node(level + 1, (chx, chy, chz), rd, weff * r,
+                            fmin, False)
+                if any_refl and any_transp:
+                    r0 = 8 * (level + 1)
+                    to3 = (tree_s[r0 + 0:r0 + 1, :],
+                           tree_s[r0 + 1:r0 + 2, :],
+                           tree_s[r0 + 2:r0 + 3, :])
+                    td3 = (tree_s[r0 + 3:r0 + 4, :],
+                           tree_s[r0 + 4:r0 + 5, :],
+                           tree_s[r0 + 5:r0 + 6, :])
+                    do_node(level + 1, to3, td3,
+                            tree_s[r0 + 6:r0 + 7, :], fmin, False)
+                elif any_transp:
+                    do_node(level + 1, (chx, chy, chz), d3, w * f,
+                            fmin, False)
 
-        out_ref[0:1, :] = crr
-        out_ref[1:2, :] = crg
-        out_ref[2:3, :] = crb
+            if root or not node_skip:
+                body()
+            else:
+                @pl.when(jnp.max(w) > 0.0)
+                def _():
+                    body()
+
+        do_node(0, (ox, oy, oz), (dx, dy, dz), ones, mind0, True)
+        out_ref[0:1, :] = tree_s[0:1, :]
+        out_ref[1:2, :] = tree_s[1:2, :]
+        out_ref[2:3, :] = tree_s[2:3, :]
         out_ref[7:8, :] = jnp.zeros((1, tile_r), jnp.float32)
 
     return kernel
@@ -1348,12 +1427,12 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
     jax.jit,
     static_argnames=("bounces", "shadow_steps", "any_refl", "any_transp",
                      "n_lights", "interpret", "tile_r", "secondary_cull",
-                     "has_planes", "has_spheres"),
+                     "has_planes", "has_spheres", "node_skip"),
 )
 def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
                bounces, shadow_steps, any_refl, any_transp, n_lights,
                interpret, tile_r=TILE_R, secondary_cull=True,
-               has_planes=True, has_spheres=True):
+               has_planes=True, has_spheres=True, node_skip=True):
     m, c = tables["k"].shape
     n_pl = plane.shape[1]
     n_sp = sphere.shape[1]
@@ -1377,6 +1456,7 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
         kernel = _make_kernel_lanes(
             m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             any_refl, any_transp, tile_r, has_planes, has_spheres,
+            node_skip=node_skip,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # packed cull words
@@ -1394,6 +1474,9 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
                 pltpu.VMEM((1, tile_r), jnp.float32),   # best order key
                 pltpu.VMEM((16, tile_r), jnp.float32),  # winner attrs
                 pltpu.VMEM((8, tile_r), jnp.float32),   # light/march state
+                # bounce-tree state: rows 0-2 color accumulator, rows
+                # 8(L+1).. parked transparency-child frames (DF unroll)
+                pltpu.VMEM((8 * (bounces + 1), tile_r), jnp.float32),
                 pltpu.SMEM((1,), jnp.int32),            # secondary cull bits
             ],
         )
@@ -1410,7 +1493,7 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
     kernel = _make_kernel(
         m, n_pl, n_sp, n_lights, bounces, shadow_steps,
         any_refl, any_transp, tile_r, secondary_cull,
-        has_planes, has_spheres,
+        has_planes, has_spheres, node_skip=node_skip,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1429,6 +1512,9 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
             pltpu.VMEM((tile_r, 1), jnp.int32),     # best order key
             pltpu.VMEM((tile_r, 16), jnp.float32),  # winner attrs
             pltpu.VMEM((tile_r, 8), jnp.float32),   # light/march state
+            # bounce-tree state: cols 0-2 color accumulator, cols
+            # 8(L+1).. parked transparency-child frames (DF unroll)
+            pltpu.VMEM((tile_r, 8 * (bounces + 1)), jnp.float32),
             pltpu.SMEM((-(-m // 32),), jnp.int32),  # secondary cull bits
         ],
     )
@@ -1518,6 +1604,13 @@ def _fused_forward(soa, accel, o, d, fudge, bounces):
          jnp.float32(0), jnp.float32(0)]
     ).reshape(1, 4)
 
+    import os
+
+    # Tile-dead node skipping: on by default exactly when the scene's
+    # material stats say chains die on hits (soa.chains_die); the env var
+    # is an A/B override for kernel experiments.
+    ns_env = os.environ.get("CUTRACE_NODE_SKIP")
+    node_skip = soa.chains_die if ns_env is None else ns_env != "0"
     out = _run_fused(
         tables, aabb, plane, sphere, lights, rays, hits, scalars,
         bounces=bounces, shadow_steps=soa.shadow_steps,
@@ -1525,6 +1618,7 @@ def _fused_forward(soa, accel, o, d, fudge, bounces):
         n_lights=soa.n_lights, interpret=accel.interpret,
         secondary_cull=True, tile_r=tile_r,
         has_planes=soa.n_planes > 0, has_spheres=soa.n_spheres > 0,
+        node_skip=node_skip,
     )[:r]
     return out[:, 0:3], out[:, 3], out[:, 4:7]
 

@@ -123,6 +123,15 @@ class SceneArrays:
     # the whole kind when the count is 0 (the padding row can never hit).
     n_planes: int = dataclasses.field(default=0, metadata=dict(static=True))
     n_spheres: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # Whether bounce chains commonly terminate on HITS: a reflection
+    # (transparency) child's weight zeroes whenever the hit material's
+    # reflect (transparency) factor is < 1e-6 (shading.hpp:130,141). When
+    # True the fused kernel's per-node tile-dead skip pays for its
+    # vector->scalar sync (mirror.json: 4.6x frame win); when False (every
+    # material spawns, chains die only by leaving the scene — bunny.json)
+    # the skip is a measured ~1.5 % net loss and is compiled out.
+    chains_die: bool = dataclasses.field(default=True,
+                                         metadata=dict(static=True))
 
 
 # Padding sentinels for empty primitive kinds: *finite* geometry parked far
@@ -269,6 +278,17 @@ def scene_to_soa(scene: T.Scene, shadow_steps: int = 16) -> SceneArrays:
 
     any_reflective = bool((mat_reflect >= 1e-6).any())
     any_transparent = bool((mat_transp >= 1e-6).any())
+    # Node-death statics for the fused kernel's tile-skip (see SceneArrays.
+    # chains_die): two-branch trees always have (exponentially many) dead
+    # nodes; single chains die on hits only if some material doesn't spawn.
+    if any_reflective and any_transparent:
+        chains_die = True
+    elif any_reflective:
+        chains_die = bool((mat_reflect < 1e-6).any())
+    elif any_transparent:
+        chains_die = bool((mat_transp < 1e-6).any())
+    else:
+        chains_die = False
     t_max = float(mat_transp.max()) if len(mats) else 0.0
     if t_max >= 1.0:
         # The reference's march never terminates at transparency == 1
@@ -334,4 +354,5 @@ def scene_to_soa(scene: T.Scene, shadow_steps: int = 16) -> SceneArrays:
         shadow_steps=min(max(exact_steps, 1), shadow_steps),
         n_planes=len(plp),
         n_spheres=len(spc),
+        chains_die=chains_die,
     ))
