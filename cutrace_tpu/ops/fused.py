@@ -66,6 +66,10 @@ _A_CR, _A_CG, _A_CB = 4, 5, 6
 _A_SPEC, _A_REFL, _A_PHONG, _A_TRANSP = 7, 8, 9, 10
 _A_SPH = 11
 _A_CX, _A_CY, _A_CZ = 12, 13, 14
+# winner topology code (emit_topo kernels only): original flat triangle
+# index / T + plane idx / T + P + sphere idx / -1 miss (ops/replay.py).
+# f32 rows are exact for codes < 2^24 (buffers are bounded far below that).
+_A_CODE = 15
 
 # cluster-table name per attribute column (cols 11-14 have no triangle
 # table: triangles are never spheres, so those stay 0 from the reset)
@@ -84,6 +88,7 @@ _TRI_ATTRS_SHADOW = (("obj", _A_OBJ), ("transp", _A_TRANSP))
 _ROW_KP = 15      # planes: dot(point - o0, normal)
 _ROW_R2 = 15      # spheres: radius^2
 _ROW_VALID = 16
+_ROW_CODE = 17    # topology code of this primitive (see _A_CODE)
 _PS_ROWS = 24
 
 _CAST_CONSTS = (
@@ -165,7 +170,7 @@ def _tables(soa, accel, o0):
     aabb = aabb.at[3:6].set((clusters.bmax - o0).T)
 
     def kind_rows(n, normal, col_k, mats, obj, valid, is_sphere, center,
-                  extra):
+                  extra, code_base):
         rows = jnp.zeros((_PS_ROWS, n), jnp.float32)
         rows = rows.at[_A_OBJ].set(obj.astype(jnp.float32))
         rows = rows.at[_A_NX:_A_NZ + 1].set(normal.T)
@@ -178,6 +183,9 @@ def _tables(soa, accel, o0):
         rows = rows.at[_A_CX:_A_CZ + 1].set(center.T)
         rows = rows.at[15].set(extra)
         rows = rows.at[_ROW_VALID].set(valid.astype(jnp.float32))
+        rows = rows.at[_ROW_CODE].set(
+            code_base + jnp.arange(n, dtype=jnp.float32)
+        )
         return rows
 
     def mat_params(idx):
@@ -186,12 +194,14 @@ def _tables(soa, accel, o0):
             sg(soa.mat_phong)[idx], sg(soa.mat_transparency)[idx],
         )
 
+    n_tri_slots = soa.tri_p1.shape[0]
     pln = sg(soa.pl_normal)
     ppt = sg(soa.pl_point) - o0
     plane = kind_rows(
         pln.shape[0], pln, sg(soa.mat_color)[soa.pl_mat],
         mat_params(soa.pl_mat), soa.pl_obj, sg(soa.pl_valid), 0.0,
         jnp.zeros_like(pln), jnp.sum(ppt * pln, axis=-1),
+        float(n_tri_slots),
     )
 
     spc = sg(soa.sp_center) - o0
@@ -202,6 +212,7 @@ def _tables(soa, accel, o0):
         spc.shape[0], jnp.zeros_like(spc), sg(soa.mat_color)[soa.sp_mat],
         mat_params(soa.sp_mat), soa.sp_obj, sg(soa.sp_valid), 1.0,
         spc, spr * spr,
+        float(n_tri_slots + soa.pl_point.shape[0]),
     )
     return t, aabb, plane, sphere
 
@@ -891,18 +902,33 @@ _EXACT_CULL_MAX_M = 2048
 
 def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                        any_refl, any_transp, tile_r,
-                       has_planes, has_spheres, node_skip=True):
+                       has_planes, has_spheres, node_skip=True,
+                       emit_topo=False):
     """Rays-on-lanes kernel body (see block comment above). Operand
     layouts: rays/out (8, tile_r); triangle tables (C, M); aabb (M, 8);
     plane/sphere tables (P|S, 24)."""
     n_words = -(-m // 32)  # packed cull-mask words per tile
     opaque = not any_transp
+    # topology emission (ops/replay.py): full casts also track the winner
+    # CODE column; shadow-march casts track it too in transparent scenes
+    # (opaque shadows store only the occlusion flag)
+    attrs_full = _TRI_ATTRS + ((("order", _A_CODE),) if emit_topo else ())
+    attrs_shadow = _TRI_ATTRS_SHADOW + (
+        (("order", _A_CODE),) if (emit_topo and not opaque) else ())
+    per_light = 1 if opaque else shadow_steps
+    if emit_topo:
+        from cutrace_tpu.ops.replay import topo_layout
+
+        _, topo_nodes = topo_layout(bounces, any_refl, any_transp,
+                                    n_lights, shadow_steps)
 
     def kernel(hits_ref, rays_ref, *rest):
         n_tab = len(_TABLE_NAMES)
         tabs = dict(zip(_TABLE_NAMES, rest[:n_tab]))
         (aabb_ref, plane_ref, sphere_ref, lights_ref, scal_ref,
          out_ref, bt_s, bk_s, at_s, mst_s, tree_s, bits_s) = rest[n_tab:]
+
+        topo_iter = iter(topo_nodes) if emit_topo else None
 
         i = pl.program_id(0)
         ambient = scal_ref[0, 0]
@@ -949,8 +975,12 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 at_s[_A_OBJ:_A_OBJ + 1, :] = jnp.full(
                     (1, tile_r), _BIGF
                 )
+                if emit_topo:
+                    at_s[_A_CODE:_A_CODE + 1, :] = jnp.full(
+                        (1, tile_r), -1.0
+                    )
 
-            attr_cols = _TRI_ATTRS if full else _TRI_ATTRS_SHADOW
+            attr_cols = attrs_full if full else attrs_shadow
             # w = d x o (per ray)
             wx = cdy * coz - cdz * coy
             wy = cdz * cox - cdx * coz
@@ -1081,10 +1111,13 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     (tmin == best_t) & (kmin < best_obj)
                 )
                 oneh = ((t == tmin) & (key == kmin)).astype(jnp.float32)
-                cols = range(15) if full else (_A_OBJ, _A_TRANSP)
-                for j in cols:
-                    val = jnp.sum(oneh * tab_ref[:, j:j + 1], axis=0,
-                                  keepdims=True)
+                pairs = [(j, j) for j in
+                         (range(15) if full else (_A_OBJ, _A_TRANSP))]
+                if emit_topo and (full or not opaque):
+                    pairs.append((_ROW_CODE, _A_CODE))
+                for src_j, j in pairs:
+                    val = jnp.sum(oneh * tab_ref[:, src_j:src_j + 1],
+                                  axis=0, keepdims=True)
                     at_s[j:j + 1, :] = jnp.where(
                         better, val, at_s[j:j + 1, :]
                     )
@@ -1154,9 +1187,10 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
 
             return ndx, ndy, ndz
 
-        def shade(o3, d3, nd3, level_first):
+        def shade(o3, d3, nd3, level_first, topo_base=None):
             """Phong + shadows for the current winner (shading.hpp:64-99);
-            all per-ray math on (1, R) rows."""
+            all per-ray math on (1, R) rows. `topo_base` (static): first
+            out_ref row of this node's per-light shadow topology."""
             cox, coy, coz = o3
             cdx, cdy, cdz = d3
             ndx, ndy, ndz = nd3
@@ -1241,6 +1275,8 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                          alive=hit)
                     occ = hit & (bt_s[:] > 0.0)
                     sh = jnp.where(occ, 1.0, 0.0)
+                    if topo_base is not None:
+                        out_ref[pl.ds(topo_base + li, 1), :] = sh
                 else:
                     # march state in scratch rows, scalar-only carry
                     # (see the sublane kernel's march for why)
@@ -1254,6 +1290,10 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                         act = mst_s[2:3, :] > 0.5
                         cast(px, py, pz, sdx, sdy, sdz, last + 1e-3,
                              full=False, primary=False, alive=act)
+                        if topo_base is not None:
+                            out_ref[
+                                pl.ds(topo_base + li * per_light + si, 1), :
+                            ] = at_s[_A_CODE:_A_CODE + 1, :]
                         st = bt_s[:]
                         stransp = at(_A_TRANSP)
                         okm = act & jnp.isfinite(st) & (st < light_dist)
@@ -1343,14 +1383,23 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
         tree_s[0:3, :] = jnp.zeros((3, tile_r), jnp.float32)
 
         def do_node(level, o3, d3, w, mind, root):
+            if emit_topo:
+                _, cast_row, shadow_base = next(topo_iter)
+
             def body():
                 nd3 = cast(*o3, *d3, mind, full=True, primary=root,
                            alive=None if root else (w > 0.0))
+                tb = None
+                if emit_topo:
+                    # winner code BEFORE shade()'s shadow casts clobber at_s
+                    out_ref[8 + cast_row:9 + cast_row, :] = at(_A_CODE)
+                    tb = 8 + shadow_base
                 # capture spawn-relevant winner attrs BEFORE the shadow
                 # casts inside shade() overwrite at_s (non-opaque path)
                 a_transp = at(_A_TRANSP)
                 a_refl = at(_A_REFL)
-                ph, hit, t_safe, nn3 = shade(o3, d3, nd3, level_first=root)
+                ph, hit, t_safe, nn3 = shade(o3, d3, nd3, level_first=root,
+                                             topo_base=tb)
                 if level == bounces or not (any_refl or any_transp):
                     tree_s[0:1, :] += w * ph[0]
                     tree_s[1:2, :] += w * ph[1]
@@ -1427,12 +1476,13 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
     jax.jit,
     static_argnames=("bounces", "shadow_steps", "any_refl", "any_transp",
                      "n_lights", "interpret", "tile_r", "secondary_cull",
-                     "has_planes", "has_spheres", "node_skip"),
+                     "has_planes", "has_spheres", "node_skip", "emit_topo"),
 )
 def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
                bounces, shadow_steps, any_refl, any_transp, n_lights,
                interpret, tile_r=TILE_R, secondary_cull=True,
-               has_planes=True, has_spheres=True, node_skip=True):
+               has_planes=True, has_spheres=True, node_skip=True,
+               emit_topo=False):
     m, c = tables["k"].shape
     n_pl = plane.shape[1]
     n_sp = sphere.shape[1]
@@ -1451,12 +1501,19 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
     except TypeError:  # older pallas without the knob
         params = None
 
+    rows_out = 8
+    if emit_topo:
+        from cutrace_tpu.ops.replay import topo_layout
+
+        rows_out = 8 + topo_layout(bounces, any_refl, any_transp,
+                                   n_lights, shadow_steps)[0]
+
     if m <= _LANES_MAX_M and tile_r % 128 == 0:
         # fast path: rays-on-lanes kernel, cluster loop statically unrolled
         kernel = _make_kernel_lanes(
             m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             any_refl, any_transp, tile_r, has_planes, has_spheres,
-            node_skip=node_skip,
+            node_skip=node_skip, emit_topo=emit_topo,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # packed cull words
@@ -1467,7 +1524,7 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
             + [const((m, _AABB_ROWS)), const((n_pl, _PS_ROWS)),
                const((n_sp, _PS_ROWS)),
                smem((max(1, n_lights), 8)), smem((1, 4))],
-            out_specs=pl.BlockSpec((8, tile_r), lambda i, s: (0, i),
+            out_specs=pl.BlockSpec((rows_out, tile_r), lambda i, s: (0, i),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((1, tile_r), jnp.float32),   # best t / occ flag
@@ -1483,13 +1540,19 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((rows_out, r_pad), jnp.float32),
             interpret=interpret,
             compiler_params=params,
         )(hits, rays.T, *[tables[k].T for k in _TABLE_NAMES],
           aabb.T, plane.T, sphere.T, lights, scalars)
         return out.T
 
+    if emit_topo:
+        raise NotImplementedError(
+            "emit_topo is a lanes-kernel feature (replay_supported gates "
+            "on it); the sublane kernel falls back to the composable "
+            "backward"
+        )
     kernel = _make_kernel(
         m, n_pl, n_sp, n_lights, bounces, shadow_steps,
         any_refl, any_transp, tile_r, secondary_cull,
@@ -1529,9 +1592,10 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
     return out
 
 
-def _fused_forward(soa, accel, o, d, fudge, bounces):
+def _fused_forward(soa, accel, o, d, fudge, bounces, emit_topo=False):
     """Forward fused render of explicit rays. Returns (color (R,3),
-    depth (R,), normal (R,3))."""
+    depth (R,), normal (R,3)); with emit_topo also the (R, K) i32
+    topology codes (ops/replay.py layout)."""
     from cutrace_tpu.ops.bvh import slab_test
 
     sg = jax.lax.stop_gradient
@@ -1618,8 +1682,17 @@ def _fused_forward(soa, accel, o, d, fudge, bounces):
         n_lights=soa.n_lights, interpret=accel.interpret,
         secondary_cull=True, tile_r=tile_r,
         has_planes=soa.n_planes > 0, has_spheres=soa.n_spheres > 0,
-        node_skip=node_skip,
+        node_skip=node_skip, emit_topo=emit_topo,
     )[:r]
+    if emit_topo:
+        raw = out[:, 8:]
+        # Dead-node rows are never written (tile-skip): whatever bits the
+        # VMEM block held flow out. Their weights are exactly 0 in the
+        # replay, but sanitize to a valid miss code so no NaN/overflow
+        # reaches the int conversion.
+        codes = jnp.where(jnp.isfinite(raw), raw, -1.0)
+        codes = jnp.clip(codes, -1.0, 2.0**24).astype(jnp.int32)
+        return out[:, 0:3], out[:, 3], out[:, 4:7], codes
     return out[:, 0:3], out[:, 3], out[:, 4:7]
 
 
@@ -1636,26 +1709,63 @@ def fused_render_rays(soa, accel, o, d, fudge, bounces):
     return _fused_forward(soa, accel, o, d, fudge, bounces)
 
 
+def replay_supported(soa, accel, bounces: int) -> bool:
+    """Static check: can the backward replay topology codes instead of
+    re-rendering? Requires the lanes kernel (the only topo emitter) and a
+    topo block small enough to be worth materializing (ops/replay.py)."""
+    from cutrace_tpu.ops.replay import REPLAY_MAX_ROWS, replay_rows
+
+    if accel is None or accel.kind != "fused":
+        return False
+    if not fused_supported(soa, accel, bounces):
+        return False
+    m = accel.order.shape[0]
+    if not (m <= _LANES_MAX_M and TILE_R % 128 == 0):
+        return False
+    return replay_rows(soa, bounces) <= REPLAY_MAX_ROWS
+
+
 def _fused_fwd(soa, accel, o, d, fudge, bounces):
+    if replay_supported(soa, accel, bounces):
+        c, dep, nrm, codes = _fused_forward(
+            soa, accel, o, d, fudge, bounces, emit_topo=True
+        )
+        return (c, dep, nrm), (soa, accel, o, d, codes)
     return _fused_forward(soa, accel, o, d, fudge, bounces), (
-        soa, accel, o, d,
+        soa, accel, o, d, None,
     )
 
 
 def _fused_bwd(fudge, bounces, res, cot):
     import numpy as np
 
-    from cutrace_tpu.ops.bvh import candidates_fn
-    from cutrace_tpu.render.renderer import render_rays
+    soa, accel, o, d, codes = res
 
-    soa, accel, o, d = res
+    if codes is not None:
+        # Cast-free fixed-topology backward: differentiate the code-driven
+        # replay (gathers + shading math only, ops/replay.py). Gradient
+        # semantics match the composable path — it re-derives the same
+        # continuous math at the same stop-gradiented winners.
+        from cutrace_tpu.ops.replay import replay_render_rays
 
-    def composable(soa_, o_, d_):
-        return render_rays(soa_, o_, d_, bounces, jnp.float32(fudge),
-                           candidates_fn(accel))
+        def rep(soa_, o_, d_):
+            return replay_render_rays(soa_, o_, d_, codes,
+                                      jnp.float32(fudge), bounces)
 
-    _, vjp = jax.vjp(composable, soa, o, d)
-    g_soa, g_o, g_d = vjp(cot)
+        _, vjp = jax.vjp(rep, soa, o, d)
+        g_soa, g_o, g_d = vjp(cot)
+    else:
+        # Out of replay scope (sublane kernel / deep two-branch tree):
+        # differentiate the composable pipeline over the same clusters.
+        from cutrace_tpu.ops.bvh import candidates_fn
+        from cutrace_tpu.render.renderer import render_rays
+
+        def composable(soa_, o_, d_):
+            return render_rays(soa_, o_, d_, bounces, jnp.float32(fudge),
+                               candidates_fn(accel))
+
+        _, vjp = jax.vjp(composable, soa, o, d)
+        g_soa, g_o, g_d = vjp(cot)
     # integer/bool pytree leaves take float0 cotangents
     g_accel = jax.tree.map(
         lambda x: np.zeros(x.shape, jax.dtypes.float0), accel

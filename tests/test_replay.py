@@ -1,0 +1,146 @@
+"""Topology-replay backward (ops/replay.py + ops/fused.py emit_topo).
+
+Gates:
+  * the code-driven replay reproduces the fused kernel's forward values
+    (same math at the same winners — fp association aside), and
+  * jax.grad through fused_render_rays (whose custom_vjp backward is the
+    replay when replay_supported) matches the composable pipeline's
+    gradients — the same fixed-topology semantics, never silently zero
+    (the round-1 failure mode), and
+  * out-of-scope configs (deep two-branch trees) still differentiate via
+    the composable fallback.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cutrace_tpu.diff.grad import extract_params, with_params
+from cutrace_tpu.ops.bvh import candidates_fn
+from cutrace_tpu.ops.fused import (_fused_forward, fused_render_rays,
+                                   replay_supported)
+from cutrace_tpu.ops.replay import replay_render_rays, replay_rows
+from cutrace_tpu.render.renderer import camera_rays, prepare, render_rays
+from cutrace_tpu.scene.loader import load_scene
+
+
+def _setup(scenes_dir, name, w=24, h=12):
+    sc = load_scene(scenes_dir / f"{name}.json")
+    sc.camera.width, sc.camera.height = w, h
+    prepared = prepare(sc, accel="fused")
+    soa = prepared.soa
+    idx = jnp.arange(w * h, dtype=jnp.int32)
+    o, d = camera_rays(soa, idx % w, idx // w)
+    return soa, prepared.accel, o, d, idx
+
+
+@pytest.mark.parametrize("name,bounces", [
+    ("triangle", 1),      # 1 sun, misses dominate
+    ("bunny", 2),         # opaque chain: occlusion-flag shadows
+    ("mirror", 2),        # chain with dying nodes (reflect-0 materials)
+    ("sphere_plane", 2),  # two-branch tree + transparent march replay
+])
+def test_replay_matches_kernel_forward(scenes_dir, name, bounces):
+    soa, accel, o, d, _ = _setup(scenes_dir, name)
+    assert replay_supported(soa, accel, bounces)
+    c, dep, nrm, codes = _fused_forward(soa, accel, o, d, 1e-3, bounces,
+                                        emit_topo=True)
+    rc, rdep, rnrm = replay_render_rays(soa, o, d, codes,
+                                        jnp.float32(1e-3), bounces)
+    assert float(jnp.abs(rc - c).max()) < 1e-5
+    both_inf = jnp.isinf(rdep) & jnp.isinf(dep)
+    assert float(jnp.abs(jnp.where(both_inf, 0.0, rdep - dep)).max()) < 1e-4
+    assert float(jnp.abs(rnrm - nrm).max()) < 1e-5
+
+
+@pytest.mark.parametrize("name,bounces", [
+    ("bunny", 2),
+    ("mirror", 2),
+    ("sphere_plane", 2),
+])
+def test_replay_backward_matches_composable(scenes_dir, name, bounces):
+    """jax.grad through the fused render (replay backward) == jax.grad of
+    the composable pipeline, for every differentiable parameter group."""
+    soa, accel, o, d, idx = _setup(scenes_dir, name)
+    assert replay_supported(soa, accel, bounces)
+    params = extract_params(soa)
+    w = soa.width
+
+    tgt, _, _ = _fused_forward(soa, accel, o, d, 1e-3, bounces)
+    tgt = jax.lax.stop_gradient(tgt) * 0.9
+
+    def loss_fused(p):
+        s = with_params(soa, p)
+        o2, d2 = camera_rays(s, idx % w, idx // w)
+        c, _, _ = fused_render_rays(s, accel, o2, d2, 1e-3, bounces)
+        return jnp.mean((c - tgt) ** 2)
+
+    def loss_comp(p):
+        s = with_params(soa, p)
+        o2, d2 = camera_rays(s, idx % w, idx // w)
+        c, _, _ = render_rays(s, o2, d2, bounces, jnp.float32(1e-3),
+                              candidates_fn(accel))
+        return jnp.mean((c - tgt) ** 2)
+
+    gf = jax.grad(loss_fused)(params)
+    gc = jax.grad(loss_comp)(params)
+    for k in gf:
+        a, b = np.asarray(gf[k]), np.asarray(gc[k])
+        assert np.isfinite(a).all(), k
+        scale = max(np.abs(b).max(), 1e-6)
+        err = np.abs(a - b).max() / scale
+        assert err < 2e-4, f"{name}/{k}: rel err {err:.3e}"
+
+
+def test_replay_fallback_out_of_scope(scenes_dir):
+    """sphere_plane at bounces=5 needs 441 topo rows (> REPLAY_MAX_ROWS):
+    replay is statically declined and the composable backward still
+    produces finite, nonzero gradients."""
+    soa, accel, o, d, idx = _setup(scenes_dir, "sphere_plane", w=16, h=8)
+    assert replay_rows(soa, 5) > 192
+    assert not replay_supported(soa, accel, 5)
+    params = extract_params(soa)
+    w = soa.width
+
+    def loss(p):
+        s = with_params(soa, p)
+        o2, d2 = camera_rays(s, idx % w, idx // w)
+        c, _, _ = fused_render_rays(s, accel, o2, d2, 1e-3, 5)
+        return jnp.mean(c ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(v)).all() for v in g.values())
+    assert float(jnp.abs(g["sp_center"]).sum()) > 0.0
+
+
+def test_replay_depth_normal_cotangents(scenes_dir):
+    """Gradients through the depth and normal outputs (primary cast) flow
+    through the replay backward too."""
+    soa, accel, o, d, idx = _setup(scenes_dir, "bunny")
+    params = extract_params(soa)
+    w = soa.width
+
+    def loss(p):
+        s = with_params(soa, p)
+        o2, d2 = camera_rays(s, idx % w, idx // w)
+        _, dep, nrm = fused_render_rays(s, accel, o2, d2, 1e-3, 1)
+        fin = jnp.isfinite(dep)
+        return (jnp.sum(jnp.where(fin, dep, 0.0))
+                + jnp.sum(nrm ** 2))
+
+    def loss_comp(p):
+        s = with_params(soa, p)
+        o2, d2 = camera_rays(s, idx % w, idx // w)
+        _, dep, nrm = render_rays(s, o2, d2, 1, jnp.float32(1e-3),
+                                  candidates_fn(accel))
+        fin = jnp.isfinite(dep)
+        return (jnp.sum(jnp.where(fin, dep, 0.0))
+                + jnp.sum(nrm ** 2))
+
+    gf = jax.grad(loss)(params)
+    gc = jax.grad(loss_comp)(params)
+    for k in ("tri_p1", "cam_eye", "pl_point"):
+        a, b = np.asarray(gf[k]), np.asarray(gc[k])
+        scale = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 2e-4, k

@@ -202,6 +202,78 @@ def test_obj_mesh_import(tmp_path):
     assert sc.objects[0].num_triangles == 3
 
 
+def test_ply_mesh_import(tmp_path):
+    """PLY meshes load in ascii and both binary endiannesses with fan
+    triangulation and extra vertex properties skipped (Assimp-parity
+    breadth — scene/mesh_io.py)."""
+    import json
+    import struct
+
+    import numpy as np
+
+    from cutrace_tpu.scene.loader import load_scene
+    from cutrace_tpu.scene.mesh_io import load_mesh, load_ply
+
+    quad = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0)]
+    want0 = [[0, 0, 0], [1, 0, 0], [1, 1, 0]]
+    want1 = [[0, 0, 0], [1, 1, 0], [0, 1, 0]]
+
+    # ascii, with an extra skipped property and a 4-gon face
+    ply_a = tmp_path / "quad_ascii.ply"
+    ply_a.write_text(
+        "ply\nformat ascii 1.0\ncomment made by hand\n"
+        "element vertex 4\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\n"
+        "element face 1\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+        + "".join(f"{x} {y} {z} 255\n" for x, y, z in quad)
+        + "4 0 1 2 3\n"
+    )
+    tris = load_ply(ply_a)
+    assert tris.shape == (2, 3, 3)
+    assert np.allclose(tris[0], want0) and np.allclose(tris[1], want1)
+
+    # binary, both endians
+    for fmt, bo in (("binary_little_endian", "<"), ("binary_big_endian", ">")):
+        ply_b = tmp_path / f"quad_{fmt}.ply"
+        body = b"".join(struct.pack(bo + "fff", *v) for v in quad)
+        body += struct.pack(bo + "B4i", 4, 0, 1, 2, 3)
+        ply_b.write_bytes(
+            (
+                f"ply\nformat {fmt} 1.0\n"
+                "element vertex 4\n"
+                "property float x\nproperty float y\nproperty float z\n"
+                "element face 1\n"
+                "property list uchar int vertex_indices\n"
+                "end_header\n"
+            ).encode() + body
+        )
+        tris = load_mesh(ply_b)
+        assert tris.shape == (2, 3, 3), fmt
+        assert np.allclose(tris[0], want0) and np.allclose(tris[1], want1)
+
+    # scene-level dispatch by extension
+    scene_file = tmp_path / "s.json"
+    scene_file.write_text(json.dumps({
+        "camera": {"eye": [0, 0, -3], "look": [0, 0, 0], "width": 8,
+                   "height": 8},
+        "materials": [{"type": "solid", "color": [1, 0, 0]}],
+        "lights": [{"type": "sun", "direction": [0, 0, 1]}],
+        "objects": [{"type": "mesh", "file": "quad_ascii.ply",
+                     "material": 0}],
+    }))
+    sc = load_scene(scene_file)
+    assert sc.objects[0].num_triangles == 2
+
+    # broken file -> empty mesh + warning (silent-empty reference
+    # semantics, default_schema.hpp:523)
+    bad = tmp_path / "bad.ply"
+    bad.write_bytes(b"ply\nformat ascii 1.0\nelement vertex 1\n")
+    assert load_ply(bad).shape == (0, 3, 3)
+
+
 def test_host_triangle_soup_matches_soa(scenes_dir):
     """host_triangle_soup (the accel builder's no-readback source) must
     reproduce scene_to_soa's triangle buffers exactly, including sentinel
