@@ -241,22 +241,36 @@ def _ceil_to(x, m):
 
 def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                  any_refl, any_transp, tile_r, secondary_cull,
-                 has_planes, has_spheres, node_skip=True):
+                 has_planes, has_spheres, node_skip=True, emit_topo=False):
     """Build the fused kernel body (python-specialized on static config).
 
     `has_planes`/`has_spheres` statically elide whole primitive kinds
     (empty kinds carry only a never-hit padding row — soa.py); an opaque
     scene (not any_transp) replaces every shadow march with a single
     any-hit occlusion query (one occluder saturates the accumulated
-    opacity, shading.hpp:22-45)."""
+    opacity, shading.hpp:22-45).
+
+    `emit_topo` (OPAQUE scenes only here): appends 2 out columns per
+    bounce-tree node — winner code + per-light occlusion flags packed as
+    bits (flag_col += occ * 2^light). Mosaic cannot dynamically index the
+    lane dimension, so per-light columns are impossible in this layout;
+    the bit-packing keeps the column index static while the light loop
+    stays a dynamic fori. _fused_forward unpacks to the standard
+    ops/replay.py row layout."""
     n_words = -(-m // 32)  # packed cull-mask words per tile
     opaque = not any_transp
+    assert not (emit_topo and not opaque), \
+        "sublane emit_topo supports opaque scenes only (replay_supported)"
+    attrs_full = _TRI_ATTRS + ((("order", _A_CODE),) if emit_topo else ())
+    attrs_shadow = _TRI_ATTRS_SHADOW
 
     def kernel(hits_ref, rays_ref, *rest):
         n_tab = len(_TABLE_NAMES)
         tabs = dict(zip(_TABLE_NAMES, rest[:n_tab]))
         (aabb_ref, plane_ref, sphere_ref, lights_ref, scal_ref,
          out_ref, bt_s, bk_s, at_s, mst_s, tree_s, bits_s) = rest[n_tab:]
+
+        node_counter = [0]  # DF node index (matches replay.topo_layout)
 
         i = pl.program_id(0)
         ambient = scal_ref[0, 0]
@@ -297,8 +311,12 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 bk_s[:] = jnp.full((tile_r, 1), _BIG, jnp.int32)
                 at_s[:] = jnp.zeros((tile_r, 16), jnp.float32)
                 at_s[:, _A_OBJ:_A_OBJ + 1] = jnp.full((tile_r, 1), _BIGF)
+                if emit_topo:
+                    at_s[:, _A_CODE:_A_CODE + 1] = jnp.full(
+                        (tile_r, 1), -1.0
+                    )
 
-            attr_cols = _TRI_ATTRS if full else _TRI_ATTRS_SHADOW
+            attr_cols = attrs_full if full else attrs_shadow
             # w = d x o (per ray)
             wx = cdy * coz - cdz * coy
             wy = cdz * cox - cdx * coz
@@ -528,10 +546,13 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     (tmin == best_t) & (kmin < best_obj)
                 )
                 oneh = ((t == tmin) & (key == kmin)).astype(jnp.float32)
-                cols = range(15) if full else (_A_OBJ, _A_TRANSP)
-                for j in cols:
-                    val = jnp.sum(oneh * tab_ref[j:j + 1, :], axis=1,
-                                  keepdims=True)
+                pairs = [(j, j) for j in
+                         (range(15) if full else (_A_OBJ, _A_TRANSP))]
+                if emit_topo and full:
+                    pairs.append((_ROW_CODE, _A_CODE))
+                for src_j, j in pairs:
+                    val = jnp.sum(oneh * tab_ref[src_j:src_j + 1, :],
+                                  axis=1, keepdims=True)
                     at_s[:, j:j + 1] = jnp.where(
                         better, val, at_s[:, j:j + 1]
                     )
@@ -605,9 +626,11 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
 
             return ndx, ndy, ndz
 
-        def shade(o3, d3, nd3, level_first):
+        def shade(o3, d3, nd3, level_first, topo_col=None):
             """Phong + shadows for the current winner in bt_s/at_s
-            (shading.hpp:64-99). Returns (rgb3, spawn info...)."""
+            (shading.hpp:64-99). Returns (rgb3, spawn info...). `topo_col`
+            (static): out column accumulating packed occlusion-flag bits
+            (opaque emit_topo only)."""
             cox, coy, coz = o3
             cdx, cdy, cdz = d3
             ndx, ndy, ndz = nd3
@@ -668,7 +691,12 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             # took >8 min to compile).
             def light_body(li, acc):
                 if opaque:
-                    accr, accg, accb = acc
+                    if topo_col is None:
+                        accr, accg, accb = acc
+                    else:
+                        # pw = 2^li, doubled per iteration (exact in f32):
+                        # keeps the packed-flag bit weight a scalar carry
+                        accr, accg, accb, pw = acc
                 else:
                     # accumulators live in scratch when the body contains
                     # the march loop: Mosaic cannot legalize an scf.for
@@ -708,6 +736,8 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                          alive=hit)
                     occ = hit & (bt_s[:] > 0.0)
                     sh = jnp.where(occ, 1.0, 0.0)
+                    if topo_col is not None:
+                        out_ref[:, topo_col:topo_col + 1] += sh * pw
                 else:
                     # march state lives in VMEM scratch, NOT loop
                     # carries: Mosaic cannot legalize an scf.for with
@@ -759,16 +789,24 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 accg = accg + wgt * (fd * difg + fs * spec * difg) * lcg
                 accb = accb + wgt * (fd * difb + fs * spec * difb) * lcb
                 if opaque:
-                    return accr, accg, accb
+                    if topo_col is None:
+                        return accr, accg, accb
+                    return accr, accg, accb, pw * 2.0
                 mst_s[:, 3:4] = accr
                 mst_s[:, 4:5] = accg
                 mst_s[:, 5:6] = accb
                 return 0
 
             if opaque:
-                accr, accg, accb = jax.lax.fori_loop(
-                    0, n_lights, light_body, (accr, accg, accb)
-                )
+                if topo_col is None:
+                    accr, accg, accb = jax.lax.fori_loop(
+                        0, n_lights, light_body, (accr, accg, accb)
+                    )
+                else:
+                    accr, accg, accb, _ = jax.lax.fori_loop(
+                        0, n_lights, light_body,
+                        (accr, accg, accb, jnp.float32(1.0)),
+                    )
             else:
                 mst_s[:, 3:4] = accr
                 mst_s[:, 4:5] = accg
@@ -792,11 +830,26 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
         tree_s[:, 0:3] = jnp.zeros((tile_r, 3), jnp.float32)
 
         def do_node(level, o3, d3, w, mind, root):
+            if emit_topo:
+                k_node = node_counter[0]
+                node_counter[0] += 1
+
             def body():
                 nd3 = cast(*o3, *d3, mind, full=True, primary=root,
                            alive=None if root else (w > 0.0))
+                tc = None
+                if emit_topo:
+                    # winner code + zeroed flag column for this node
+                    # (static lane indices; see the docstring)
+                    c0 = 8 + 2 * k_node
+                    out_ref[:, c0:c0 + 1] = at_s[:, _A_CODE:_A_CODE + 1]
+                    out_ref[:, c0 + 1:c0 + 2] = jnp.zeros(
+                        (tile_r, 1), jnp.float32
+                    )
+                    tc = c0 + 1
                 ph, hit, t_safe, nn3, at = shade(o3, d3, nd3,
-                                                 level_first=root)
+                                                 level_first=root,
+                                                 topo_col=tc)
                 if level == bounces or not (any_refl or any_transp):
                     tree_s[:, 0:1] += w * ph[0]
                     tree_s[:, 1:2] += w * ph[1]
@@ -1502,11 +1555,14 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
         params = None
 
     rows_out = 8
+    n_nodes = 0
     if emit_topo:
         from cutrace_tpu.ops.replay import topo_layout
 
-        rows_out = 8 + topo_layout(bounces, any_refl, any_transp,
-                                   n_lights, shadow_steps)[0]
+        k_rows, nodes_l = topo_layout(bounces, any_refl, any_transp,
+                                      n_lights, shadow_steps)
+        rows_out = 8 + k_rows
+        n_nodes = len(nodes_l)
 
     if m <= _LANES_MAX_M and tile_r % 128 == 0:
         # fast path: rays-on-lanes kernel, cluster loop statically unrolled
@@ -1547,16 +1603,14 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
           aabb.T, plane.T, sphere.T, lights, scalars)
         return out.T
 
-    if emit_topo:
-        raise NotImplementedError(
-            "emit_topo is a lanes-kernel feature (replay_supported gates "
-            "on it); the sublane kernel falls back to the composable "
-            "backward"
-        )
+    # Sublane layout: topo on STATIC lane indices — 2 columns per node
+    # (winner code + packed per-light occlusion flag bits); opaque-only
+    # (enforced in _make_kernel; replay_supported gates callers).
+    cols_out = 8 + 2 * n_nodes if emit_topo else 8
     kernel = _make_kernel(
         m, n_pl, n_sp, n_lights, bounces, shadow_steps,
         any_refl, any_transp, tile_r, secondary_cull,
-        has_planes, has_spheres, node_skip=node_skip,
+        has_planes, has_spheres, node_skip=node_skip, emit_topo=emit_topo,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1568,7 +1622,7 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
         + [const((_AABB_ROWS, m)), const((_PS_ROWS, n_pl)),
            const((_PS_ROWS, n_sp)),
            smem((max(1, n_lights), 8)), smem((1, 4))],
-        out_specs=pl.BlockSpec((tile_r, 8), lambda i, s: (i, 0),
+        out_specs=pl.BlockSpec((tile_r, cols_out), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tile_r, 1), jnp.float32),   # best t
@@ -1584,7 +1638,7 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r_pad, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r_pad, cols_out), jnp.float32),
         interpret=interpret,
         compiler_params=params,
     )(hits, rays, *[tables[k] for k in _TABLE_NAMES],
@@ -1685,7 +1739,27 @@ def _fused_forward(soa, accel, o, d, fudge, bounces, emit_topo=False):
         node_skip=node_skip, emit_topo=emit_topo,
     )[:r]
     if emit_topo:
-        raw = out[:, 8:]
+        if m <= _LANES_MAX_M and tile_r % 128 == 0:
+            raw = out[:, 8:]  # lanes kernel: already the replay row layout
+        else:
+            # sublane kernel: (code, packed occlusion flags) column pairs
+            # — unpack the flag bits into per-light rows (opaque scenes:
+            # per_light == 1, so the replay layout is nodes x (1 + L))
+            from cutrace_tpu.ops.replay import topo_layout
+
+            _, nodes_l = topo_layout(
+                bounces, soa.any_reflective, soa.any_transparent,
+                soa.n_lights, soa.shadow_steps,
+            )
+            cols = []
+            for k in range(len(nodes_l)):
+                code = out[:, 8 + 2 * k]
+                flags = out[:, 8 + 2 * k + 1]
+                flags = jnp.where(jnp.isfinite(flags), flags, 0.0)
+                cols.append(code)
+                for li in range(soa.n_lights):
+                    cols.append(jnp.floor(flags / (2.0 ** li)) % 2.0)
+            raw = jnp.stack(cols, axis=1)
         # Dead-node rows are never written (tile-skip): whatever bits the
         # VMEM block held flow out. Their weights are exactly 0 in the
         # replay, but sanitize to a valid miss code so no NaN/overflow
@@ -1711,8 +1785,10 @@ def fused_render_rays(soa, accel, o, d, fudge, bounces):
 
 def replay_supported(soa, accel, bounces: int) -> bool:
     """Static check: can the backward replay topology codes instead of
-    re-rendering? Requires the lanes kernel (the only topo emitter) and a
-    topo block small enough to be worth materializing (ops/replay.py)."""
+    re-rendering? The lanes kernel emits full topology; the sublane kernel
+    (big scenes) emits it for OPAQUE scenes only (packed occlusion-flag
+    columns); the topo block must stay small enough to be worth
+    materializing (ops/replay.py)."""
     from cutrace_tpu.ops.replay import REPLAY_MAX_ROWS, replay_rows
 
     if accel is None or accel.kind != "fused":
@@ -1720,7 +1796,12 @@ def replay_supported(soa, accel, bounces: int) -> bool:
     if not fused_supported(soa, accel, bounces):
         return False
     m = accel.order.shape[0]
-    if not (m <= _LANES_MAX_M and TILE_R % 128 == 0):
+    lanes = m <= _LANES_MAX_M and TILE_R % 128 == 0
+    if not lanes and soa.any_transparent:
+        # the sublane kernel packs occlusion flags into static columns
+        # (Mosaic cannot dynamically index lanes); per-step march codes
+        # don't fit that scheme, so transparent big scenes keep the
+        # composable backward
         return False
     return replay_rows(soa, bounces) <= REPLAY_MAX_ROWS
 

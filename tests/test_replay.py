@@ -144,3 +144,70 @@ def test_replay_depth_normal_cotangents(scenes_dir):
         a, b = np.asarray(gf[k]), np.asarray(gc[k])
         scale = max(np.abs(b).max(), 1e-6)
         assert np.abs(a - b).max() / scale < 2e-4, k
+
+
+def test_replay_sublane_kernel(scenes_dir):
+    """Big-scene (sublane-kernel) topology emission: packed occlusion-flag
+    columns unpack to the standard replay layout, and gradients match the
+    composable pipeline. Forced by a tiny cluster size (m > _LANES_MAX_M)
+    on an opaque scene."""
+    from cutrace_tpu.ops import bvh
+    from cutrace_tpu.ops.fused import _LANES_MAX_M
+    from cutrace_tpu.ops.replay import replay_render_rays
+    from cutrace_tpu.scene.soa import scene_to_soa
+
+    sc = load_scene(scenes_dir / "bunny.json")
+    sc.camera.width, sc.camera.height = 20, 12
+    soa = scene_to_soa(sc)
+    accel = bvh.build_accel(soa, cluster_size=8, kind="fused")
+    assert accel.order.shape[0] > _LANES_MAX_M
+    assert replay_supported(soa, accel, 2)
+    b = 2
+    idx = jnp.arange(soa.width * soa.height, dtype=jnp.int32)
+    o, d = camera_rays(soa, idx % soa.width, idx // soa.width)
+
+    c, dep, nrm, codes = _fused_forward(soa, accel, o, d, 1e-3, b,
+                                        emit_topo=True)
+    rc, _, _ = replay_render_rays(soa, o, d, codes, jnp.float32(1e-3), b)
+    assert float(jnp.abs(rc - c).max()) < 1e-5
+
+    params = extract_params(soa)
+    tgt = jax.lax.stop_gradient(c) * 0.9
+    w = soa.width
+
+    def loss_f(p):
+        s = with_params(soa, p)
+        o2, d2 = camera_rays(s, idx % w, idx // w)
+        cf, _, _ = fused_render_rays(s, accel, o2, d2, 1e-3, b)
+        return jnp.mean((cf - tgt) ** 2)
+
+    def loss_c(p):
+        s = with_params(soa, p)
+        o2, d2 = camera_rays(s, idx % w, idx // w)
+        cf, _, _ = render_rays(s, o2, d2, b, jnp.float32(1e-3),
+                               candidates_fn(accel))
+        return jnp.mean((cf - tgt) ** 2)
+
+    gf = jax.grad(loss_f)(params)
+    gc = jax.grad(loss_c)(params)
+    for k in gf:
+        a, bb = np.asarray(gf[k]), np.asarray(gc[k])
+        scale = max(np.abs(bb).max(), 1e-6)
+        assert np.abs(a - bb).max() / scale < 2e-4, k
+
+
+def test_replay_sublane_transparent_falls_back(scenes_dir):
+    """Transparent scenes on the sublane kernel can't emit march codes
+    (packed columns hold only occlusion bits) — replay must decline."""
+    from cutrace_tpu.ops import bvh
+    from cutrace_tpu.scene.soa import scene_to_soa
+
+    sc = load_scene(scenes_dir / "sphere_plane.json")
+    sc.camera.width, sc.camera.height = 16, 8
+    soa = scene_to_soa(sc)
+    # no triangles: order shape (1, C); fake a big partition via min_clusters
+    accel = bvh.build_accel(soa, cluster_size=8, kind="fused",
+                            min_clusters=64)
+    from cutrace_tpu.ops.fused import _LANES_MAX_M
+    assert accel.order.shape[0] > _LANES_MAX_M
+    assert not replay_supported(soa, accel, 2)
