@@ -32,17 +32,21 @@ Kernel shapes (same conventions as ops/pallas_cast.py):
     over the (TILE_R, C) tile — no gathers, which Mosaic laces poorly.
 
 Differentiation contract: the kernel is FORWARD-ONLY; `fused_render_rays`
-wraps it in jax.custom_vjp whose backward re-runs the composable JAX path
-(render.shading.ray_color + ops.intersect.ray_cast) and differentiates that
-— so jax.grad through a fused render is exact w.r.t. the same fixed-topology
-semantics, never silently zero. Scene semantics match the composable path
-to ~1e-4 (tests/test_fused.py); the composable path remains the oracle.
+wraps it in jax.custom_vjp. Where `replay_supported`, the forward also
+emits per-ray TOPOLOGY CODES and the backward differentiates the cast-free
+code-driven replay (ops/replay.py — gathers + shading math, no casts);
+otherwise the backward re-runs the composable JAX path
+(render.shading.ray_color + ops.intersect.ray_cast) and differentiates
+that. Either way jax.grad through a fused render is exact w.r.t. the same
+fixed-topology semantics, never silently zero. Scene semantics match the
+composable path to ~1e-4 (tests/test_fused.py, test_replay.py); the
+composable path remains the oracle.
 
-Scope: scenes whose cluster tables fit VMEM (<= ~64k triangles) and whose
-bounce tree is a chain (reflective XOR transparent materials — all bundled
-scenes except sphere_plane.json, which has both and uses the fused path only
-for bounces <= 2). render.renderer.render() falls back to the composable
-pipeline otherwise.
+Scope: scenes whose cluster tables fit VMEM (<= ~256k triangles) and whose
+unrolled bounce tree stays within 63 nodes (two-branch trees at the
+reference CLI's bounces=5 included; since the depth-first tile-dead
+skipping, dead nodes cost one scalar sync). render.renderer.render()
+falls back to the composable pipeline otherwise.
 """
 
 from __future__ import annotations
@@ -1775,21 +1779,25 @@ def fused_render_rays(soa, accel, o, d, fudge, bounces):
     """Fused-kernel render of explicit rays: (color (R,3), depth (R,),
     normal (R,3)).
 
-    Forward runs the single fused Pallas kernel; the custom backward
-    differentiates the composable JAX pipeline (render.renderer.render_rays
-    with this accel's triangle provider) instead, so jax.grad through a
-    fused render gives the exact fixed-topology gradients — never a silent
-    zero (the round-1 failure mode this contract forbids)."""
+    Forward runs the single fused Pallas kernel. The custom backward is
+    the cast-free topology replay where replay_supported (forward emits
+    winner codes, ops/replay.py differentiates gathers + shading math —
+    measured 3.7x faster than re-rendering), else it differentiates the
+    composable JAX pipeline (render.renderer.render_rays with this accel's
+    triangle provider). Both give the exact fixed-topology gradients —
+    never a silent zero (the round-1 failure mode this contract forbids)."""
     return _fused_forward(soa, accel, o, d, fudge, bounces)
 
 
-def replay_supported(soa, accel, bounces: int) -> bool:
+def replay_supported(soa, accel, bounces: int, n_rays: int = 0) -> bool:
     """Static check: can the backward replay topology codes instead of
     re-rendering? The lanes kernel emits full topology; the sublane kernel
     (big scenes) emits it for OPAQUE scenes only (packed occlusion-flag
-    columns); the topo block must stay small enough to be worth
-    materializing (ops/replay.py)."""
-    from cutrace_tpu.ops.replay import REPLAY_MAX_ROWS, replay_rows
+    columns); the topo block must fit the kernel's out-block budget and,
+    given `n_rays` (static at trace time), the materialized code buffer
+    must fit the HBM budget (ops/replay.py)."""
+    from cutrace_tpu.ops.replay import (REPLAY_MAX_CODE_BYTES,
+                                        REPLAY_MAX_ROWS, replay_rows)
 
     if accel is None or accel.kind != "fused":
         return False
@@ -1803,11 +1811,14 @@ def replay_supported(soa, accel, bounces: int) -> bool:
         # don't fit that scheme, so transparent big scenes keep the
         # composable backward
         return False
-    return replay_rows(soa, bounces) <= REPLAY_MAX_ROWS
+    rows = replay_rows(soa, bounces)
+    if rows > REPLAY_MAX_ROWS:
+        return False
+    return rows * max(n_rays, 1) * 4 <= REPLAY_MAX_CODE_BYTES
 
 
 def _fused_fwd(soa, accel, o, d, fudge, bounces):
-    if replay_supported(soa, accel, bounces):
+    if replay_supported(soa, accel, bounces, n_rays=o.shape[0]):
         c, dep, nrm, codes = _fused_forward(
             soa, accel, o, d, fudge, bounces, emit_topo=True
         )

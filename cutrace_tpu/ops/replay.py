@@ -78,10 +78,11 @@ def replay_rows(soa, bounces: int) -> int:
                        soa.n_lights, soa.shadow_steps)[0]
 
 
-# Replay is worthwhile while the topo block stays small next to the 8 image
-# rows; past this the deep two-branch trees (63-node sphere_plane at b5)
-# fall back to the composable backward.
-REPLAY_MAX_ROWS = 192
+# Replay scope: topo rows are bounded by the kernel's out-block budget
+# (rows x TILE_R x 4B of VMEM per tile), and the materialized code buffer
+# by rows x rays x 4B of HBM. Past either, the composable backward runs.
+REPLAY_MAX_ROWS = 512
+REPLAY_MAX_CODE_BYTES = 256 * 1024 * 1024
 
 
 def _dot(a, b):

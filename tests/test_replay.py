@@ -93,20 +93,27 @@ def test_replay_backward_matches_composable(scenes_dir, name, bounces):
         assert err < 2e-4, f"{name}/{k}: rel err {err:.3e}"
 
 
-def test_replay_fallback_out_of_scope(scenes_dir):
-    """sphere_plane at bounces=5 needs 441 topo rows (> REPLAY_MAX_ROWS):
-    replay is statically declined and the composable backward still
-    produces finite, nonzero gradients."""
+def test_replay_fallback_out_of_scope(scenes_dir, monkeypatch):
+    """sphere_plane at bounces=5 needs 441 topo rows: within the row cap
+    at training ray counts, but past the code-buffer HBM budget at 1080p.
+    With the budget forced to zero, replay is statically declined and the
+    composable backward still produces finite, nonzero gradients."""
+    import cutrace_tpu.ops.replay as rp
+
     soa, accel, o, d, idx = _setup(scenes_dir, "sphere_plane", w=16, h=8)
-    assert replay_rows(soa, 5) > 192
-    assert not replay_supported(soa, accel, 5)
+    assert replay_rows(soa, 5) == 441
+    assert replay_supported(soa, accel, 5, n_rays=16 * 8)
+    assert not replay_supported(soa, accel, 5, n_rays=1920 * 1080)
+
+    monkeypatch.setattr(rp, "REPLAY_MAX_CODE_BYTES", 1)
+    assert not replay_supported(soa, accel, 2, n_rays=16 * 8)
     params = extract_params(soa)
     w = soa.width
 
     def loss(p):
         s = with_params(soa, p)
         o2, d2 = camera_rays(s, idx % w, idx // w)
-        c, _, _ = fused_render_rays(s, accel, o2, d2, 1e-3, 5)
+        c, _, _ = fused_render_rays(s, accel, o2, d2, 1e-3, 2)
         return jnp.mean(c ** 2)
 
     g = jax.grad(loss)(params)
