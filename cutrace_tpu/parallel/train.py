@@ -129,16 +129,20 @@ def fit(
                 print(f"resumed from step {start - 1}")
     step = make_train_step(mesh, opt, bounces, param_filter=param_filter,
                            accel=accel)
+    # Keep losses as device scalars during the loop: a per-step
+    # device_get serializes the dispatch pipeline (one host round trip
+    # per step — comparable to the whole 35 ms step on a remote chip);
+    # everything is fetched in one transfer at the end.
     losses = []
     for i in range(start, steps):
         params, state, loss = step(params, state, soa, target)
-        losses.append(float(loss))
+        losses.append(loss)
         if verbose and i % 10 == 0:
-            print(f"step {i}: loss {losses[-1]:.6f}")
+            print(f"step {i}: loss {float(loss):.6f}")
         if checkpoint_dir is not None and (
             (i + 1) % checkpoint_every == 0 or i == steps - 1
         ):
             from cutrace_tpu.diff import checkpoint as ckpt
 
             ckpt.save_checkpoint(checkpoint_dir, params, state, i)
-    return params, losses
+    return params, [float(l) for l in jax.device_get(losses)]
