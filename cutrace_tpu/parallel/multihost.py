@@ -16,7 +16,7 @@ tests/test_parallel.py checks on the virtual mesh).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

@@ -11,7 +11,7 @@ component called out in SURVEY.md §2's parallelism table.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

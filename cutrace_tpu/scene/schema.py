@@ -19,7 +19,7 @@ Dialect-compat notes (documented deviations, SURVEY.md §7.1):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Sequence, Tuple
 
 import numpy as np
 

@@ -25,10 +25,8 @@ so every buffer has static nonzero shape under jit.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from cutrace_tpu.scene import types as T

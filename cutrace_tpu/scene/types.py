@@ -11,7 +11,7 @@ reproduce the reference's object-iteration tie-breaking exactly.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import time
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 
