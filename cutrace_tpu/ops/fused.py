@@ -104,6 +104,14 @@ _SHADE_CONSTS = (
     "spec", "refl", "phong", "transp",
 )
 _TABLE_NAMES = _CAST_CONSTS + _SHADE_CONSTS
+# row index of each table in the HBM-stacked (M, 32, C) layout used by the
+# streamed sublane kernel (rows 29-31 padding for (8, 128) tile alignment)
+_TROW = {name: i for i, name in enumerate(_TABLE_NAMES)}
+_HBM_TAB_ROWS = 32
+# Above this many (cluster x slot) table entries (~29 tables x slots x 4B =
+# 30 MB of VMEM) the tables move to HBM and each visited cluster is DMA'd
+# into a VMEM scratch block per visit (the streamed sublane kernel).
+_VMEM_TABLE_SLOTS = 262144
 # cluster AABBs for the in-kernel secondary-cast cull: (8, M) rows
 # [bmin x y z, bmax x y z, 0, 0]
 _AABB_ROWS = 8
@@ -125,8 +133,12 @@ def fused_supported(soa, accel, bounces: int) -> bool:
     m, c = accel.order.shape
     # ~29 tables * m * c * 4B: 262144 slots (256k triangles at C=128) is
     # ~30 MB of VMEM tables — fits the 100 MB scoped budget with room for
-    # the (tile_r, C) cast temporaries
-    if m * c > 262144:
+    # the (tile_r, C) cast temporaries. Beyond it the HBM-streamed variant
+    # (hbm_tables in _make_kernel) is CORRECT but measured 12x slower than
+    # the composable streamed pipeline at the big-scene workloads
+    # (docs/performance.md "Streamed-fused negative result"), so the
+    # composable path keeps the >256k regime.
+    if m * c > _VMEM_TABLE_SLOTS:
         return False
     # The in-kernel unroll costs ~2 cast blocks per wave node (the light
     # and shadow-march loops are dynamic fori_loops, so they don't
@@ -243,9 +255,18 @@ def _ceil_to(x, m):
     return -(-x // m) * m
 
 
+def _prefetch_primary_ok(n_tiles: int, m: int) -> bool:
+    """Whether the primary-cast cull can use prefetched SMEM mask words:
+    the (n_tiles * ceil(M/32)) int32 prefetch operand must leave room in
+    the chip's ~1 MiB SMEM. Past that the root cast culls in-kernel like
+    the secondaries (sound; slightly looser for incoherent tiles)."""
+    return n_tiles * (-(-m // 32)) * 4 <= 512 * 1024
+
+
 def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                  any_refl, any_transp, tile_r, secondary_cull,
-                 has_planes, has_spheres, node_skip=True, emit_topo=False):
+                 has_planes, has_spheres, node_skip=True, emit_topo=False,
+                 hbm_tables=False, prefetch_primary=True):
     """Build the fused kernel body (python-specialized on static config).
 
     `has_planes`/`has_spheres` statically elide whole primitive kinds
@@ -253,6 +274,13 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
     scene (not any_transp) replaces every shadow march with a single
     any-hit occlusion query (one occluder saturates the accumulated
     opacity, shading.hpp:22-45).
+
+    `hbm_tables`: cluster tables arrive as ONE stacked (M, 32, C) HBM
+    operand instead of 29 VMEM-resident (M, C) arrays; each visited
+    cluster's block is DMA'd into a VMEM scratch before its triangle math
+    — scene size is then bounded by HBM, not VMEM, with shading still
+    fused. `prefetch_primary=False` culls the root cast in-kernel too
+    (the (n_tiles, M/32) prefetch words outgrow SMEM at large M).
 
     `emit_topo` (OPAQUE scenes only here): appends 2 out columns per
     bounce-tree node — winner code + per-light occlusion flags packed as
@@ -269,10 +297,17 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
     attrs_shadow = _TRI_ATTRS_SHADOW
 
     def kernel(hits_ref, rays_ref, *rest):
-        n_tab = len(_TABLE_NAMES)
-        tabs = dict(zip(_TABLE_NAMES, rest[:n_tab]))
-        (aabb_ref, plane_ref, sphere_ref, lights_ref, scal_ref,
-         out_ref, bt_s, bk_s, at_s, mst_s, tree_s, bits_s) = rest[n_tab:]
+        if hbm_tables:
+            tab_hbm, rest = rest[0], rest[1:]
+            tabs = None
+            (aabb_ref, plane_ref, sphere_ref, lights_ref, scal_ref,
+             out_ref, bt_s, bk_s, at_s, mst_s, tree_s, bits_s,
+             tvm_s, dma_sem) = rest
+        else:
+            n_tab = len(_TABLE_NAMES)
+            tabs = dict(zip(_TABLE_NAMES, rest[:n_tab]))
+            (aabb_ref, plane_ref, sphere_ref, lights_ref, scal_ref,
+             out_ref, bt_s, bk_s, at_s, mst_s, tree_s, bits_s) = rest[n_tab:]
 
         node_counter = [0]  # DF node index (matches replay.topo_layout)
 
@@ -448,7 +483,27 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     )
 
             def visit(mi):
-                    col = lambda name: tabs[name][pl.ds(mi, 1), :]  # (1, C)
+                    if hbm_tables:
+                        # stream this cluster's table block HBM -> VMEM
+                        # (synchronous v1: ~1-2 us latency vs ~1 us of
+                        # visit math; only VISITED clusters pay it)
+                        cp = pltpu.make_async_copy(
+                            tab_hbm.at[mi], tvm_s, dma_sem
+                        )
+                        cp.start()
+                        cp.wait()
+
+                        def col(name):
+                            row = tvm_s[_TROW[name]:_TROW[name] + 1, :]
+                            # the stacked table is f32; the tie-break key
+                            # compares against the i32 bk_s scratch. Order
+                            # values are exact in f32 (< 2^24, sentinel
+                            # 2^30 is a power of two).
+                            if name == "order":
+                                return row.astype(jnp.int32)
+                            return row
+                    else:
+                        col = lambda name: tabs[name][pl.ds(mi, 1), :]
                     n0, n1, n2 = col("n0"), col("n1"), col("n2")
                     alpha = cdx * n0 + cdy * n1 + cdz * n2  # (tile_r, C)
                     beta_n = (
@@ -839,7 +894,8 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 node_counter[0] += 1
 
             def body():
-                nd3 = cast(*o3, *d3, mind, full=True, primary=root,
+                nd3 = cast(*o3, *d3, mind, full=True,
+                           primary=(root and prefetch_primary),
                            alive=None if root else (w > 0.0))
                 tc = None
                 if emit_topo:
@@ -960,7 +1016,7 @@ _EXACT_CULL_MAX_M = 2048
 def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                        any_refl, any_transp, tile_r,
                        has_planes, has_spheres, node_skip=True,
-                       emit_topo=False):
+                       emit_topo=False, prefetch_primary=True):
     """Rays-on-lanes kernel body (see block comment above). Operand
     layouts: rays/out (8, tile_r); triangle tables (C, M); aabb (M, 8);
     plane/sphere tables (P|S, 24)."""
@@ -1444,7 +1500,8 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 _, cast_row, shadow_base = next(topo_iter)
 
             def body():
-                nd3 = cast(*o3, *d3, mind, full=True, primary=root,
+                nd3 = cast(*o3, *d3, mind, full=True,
+                           primary=(root and prefetch_primary),
                            alive=None if root else (w > 0.0))
                 tb = None
                 if emit_topo:
@@ -1574,6 +1631,7 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
             m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             any_refl, any_transp, tile_r, has_planes, has_spheres,
             node_skip=node_skip, emit_topo=emit_topo,
+            prefetch_primary=_prefetch_primary_ok(n_tiles, m),
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # packed cull words
@@ -1611,33 +1669,56 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
     # (winner code + packed per-light occlusion flag bits); opaque-only
     # (enforced in _make_kernel; replay_supported gates callers).
     cols_out = 8 + 2 * n_nodes if emit_topo else 8
+    hbm = m * c > _VMEM_TABLE_SLOTS
+    prefetch_primary = _prefetch_primary_ok(n_tiles, m)
     kernel = _make_kernel(
         m, n_pl, n_sp, n_lights, bounces, shadow_steps,
         any_refl, any_transp, tile_r, secondary_cull,
         has_planes, has_spheres, node_skip=node_skip, emit_topo=emit_topo,
+        hbm_tables=hbm, prefetch_primary=prefetch_primary,
     )
 
+    if hbm:
+        # one stacked (M, 32, C) HBM-resident table; visited clusters are
+        # DMA'd per visit (kernel docstring)
+        tab_in = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        stacked = jnp.zeros((m, _HBM_TAB_ROWS, c), jnp.float32)
+        stacked = stacked.at[:, : len(_TABLE_NAMES)].set(
+            jnp.stack([tables[k] for k in _TABLE_NAMES], axis=1)
+        )
+        tab_ops = (stacked,)
+    else:
+        tab_in = [const((m, c)) for _ in _TABLE_NAMES]
+        tab_ops = tuple(tables[k] for k in _TABLE_NAMES)
+
+    scratch = [
+        pltpu.VMEM((tile_r, 1), jnp.float32),   # best t
+        pltpu.VMEM((tile_r, 1), jnp.int32),     # best order key
+        pltpu.VMEM((tile_r, 16), jnp.float32),  # winner attrs
+        pltpu.VMEM((tile_r, 8), jnp.float32),   # light/march state
+        # bounce-tree state: cols 0-2 color accumulator, cols
+        # 8(L+1).. parked transparency-child frames (DF unroll)
+        pltpu.VMEM((tile_r, 8 * (bounces + 1)), jnp.float32),
+        pltpu.SMEM((-(-m // 32),), jnp.int32),  # secondary cull bits
+    ]
+    if hbm:
+        scratch += [
+            pltpu.VMEM((_HBM_TAB_ROWS, c), jnp.float32),  # streamed block
+            pltpu.SemaphoreType.DMA(()),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # hits (n_tiles, M)
+        num_scalar_prefetch=1,  # hits (n_tiles, M) words (or a dummy)
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((tile_r, 8), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM)]
-        + [const((m, c)) for _ in _TABLE_NAMES]
+        + tab_in
         + [const((_AABB_ROWS, m)), const((_PS_ROWS, n_pl)),
            const((_PS_ROWS, n_sp)),
            smem((max(1, n_lights), 8)), smem((1, 4))],
         out_specs=pl.BlockSpec((tile_r, cols_out), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((tile_r, 1), jnp.float32),   # best t
-            pltpu.VMEM((tile_r, 1), jnp.int32),     # best order key
-            pltpu.VMEM((tile_r, 16), jnp.float32),  # winner attrs
-            pltpu.VMEM((tile_r, 8), jnp.float32),   # light/march state
-            # bounce-tree state: cols 0-2 color accumulator, cols
-            # 8(L+1).. parked transparency-child frames (DF unroll)
-            pltpu.VMEM((tile_r, 8 * (bounces + 1)), jnp.float32),
-            pltpu.SMEM((-(-m // 32),), jnp.int32),  # secondary cull bits
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,
@@ -1645,7 +1726,7 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
         out_shape=jax.ShapeDtypeStruct((r_pad, cols_out), jnp.float32),
         interpret=interpret,
         compiler_params=params,
-    )(hits, rays, *[tables[k] for k in _TABLE_NAMES],
+    )(hits, rays, *tab_ops,
       aabb, plane, sphere, lights, scalars)
     return out
 
@@ -1686,40 +1767,49 @@ def _fused_forward(soa, accel, o, d, fudge, bounces, emit_topo=False):
     )
 
     n_tiles = r_pad // tile_r
-    bmin = aabb[0:3].T
-    bmax = aabb[3:6].T
-    if r_pad * m <= (1 << 27):
-        ray_hits = slab_test(bmin, bmax, rays[:, 0:3], rays[:, 3:6])
-        tile_hits = ray_hits.reshape(n_tiles, tile_r, m).any(axis=1)
+    if not _prefetch_primary_ok(n_tiles, m):
+        # primary cull happens in-kernel (_run_fused compiles the root
+        # cast like a secondary): the prefetch words would outgrow SMEM
+        # at this cluster x tile count. Dummy prefetch operand.
+        hits = jnp.zeros((1,), jnp.int32)
     else:
-        # big partitions: the (R, M) slab-test intermediate would be GBs;
-        # scan tile batches instead (compute is identical, memory bounded)
-        batch = max(1, (1 << 24) // (tile_r * m))
-        n_b = -(-n_tiles // batch)
-        rt = jnp.zeros((n_b * batch, tile_r, 6), jnp.float32)
-        rt = rt.at[:n_tiles].set(rays[:, 0:6].reshape(n_tiles, tile_r, 6))
+        bmin = aabb[0:3].T
+        bmax = aabb[3:6].T
+        if r_pad * m <= (1 << 27):
+            ray_hits = slab_test(bmin, bmax, rays[:, 0:3], rays[:, 3:6])
+            tile_hits = ray_hits.reshape(n_tiles, tile_r, m).any(axis=1)
+        else:
+            # big partitions: the (R, M) slab-test intermediate would be
+            # GBs; scan tile batches instead (compute identical, memory
+            # bounded)
+            batch = max(1, (1 << 24) // (tile_r * m))
+            n_b = -(-n_tiles // batch)
+            rt = jnp.zeros((n_b * batch, tile_r, 6), jnp.float32)
+            rt = rt.at[:n_tiles].set(
+                rays[:, 0:6].reshape(n_tiles, tile_r, 6)
+            )
 
-        def tile_mask(chunk):  # (batch, tile_r, 6) -> (batch, M)
-            h = slab_test(bmin, bmax,
-                          chunk[..., 0:3].reshape(-1, 3),
-                          chunk[..., 3:6].reshape(-1, 3))
-            return h.reshape(-1, tile_r, m).any(axis=1)
+            def tile_mask(chunk):  # (batch, tile_r, 6) -> (batch, M)
+                h = slab_test(bmin, bmax,
+                              chunk[..., 0:3].reshape(-1, 3),
+                              chunk[..., 3:6].reshape(-1, 3))
+                return h.reshape(-1, tile_r, m).any(axis=1)
 
-        tile_hits = jax.lax.map(
-            tile_mask, rt.reshape(n_b, batch, tile_r, 6)
-        ).reshape(n_b * batch, m)[:n_tiles]
-    # bit-pack per-tile cluster masks into int32 words: the prefetched SMEM
-    # operand is (n_tiles, ceil(M/32)) instead of (n_tiles, M) — 1080p with
-    # M=128 would otherwise need 2 MiB of the chip's 1 MiB SMEM
-    w = -(-m // 32)
-    padded = jnp.zeros((n_tiles, w * 32), jnp.uint32)
-    padded = padded.at[:, :m].set(tile_hits.astype(jnp.uint32))
-    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
-    hits = jax.lax.bitcast_convert_type(
-        jnp.sum(padded.reshape(n_tiles, w, 32) << shifts, axis=-1,
-                dtype=jnp.uint32),
-        jnp.int32,
-    ).reshape(n_tiles * w)
+            tile_hits = jax.lax.map(
+                tile_mask, rt.reshape(n_b, batch, tile_r, 6)
+            ).reshape(n_b * batch, m)[:n_tiles]
+        # bit-pack per-tile cluster masks into int32 words: the prefetched
+        # SMEM operand is (n_tiles, ceil(M/32)) instead of (n_tiles, M) —
+        # 1080p with M=128 would otherwise need 2 MiB of the 1 MiB SMEM
+        w = -(-m // 32)
+        padded = jnp.zeros((n_tiles, w * 32), jnp.uint32)
+        padded = padded.at[:, :m].set(tile_hits.astype(jnp.uint32))
+        shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+        hits = jax.lax.bitcast_convert_type(
+            jnp.sum(padded.reshape(n_tiles, w, 32) << shifts, axis=-1,
+                    dtype=jnp.uint32),
+            jnp.int32,
+        ).reshape(n_tiles * w)
 
     scalars = jnp.stack(
         [sg(soa.ambient).astype(jnp.float32), jnp.float32(fudge),

@@ -209,3 +209,52 @@ def test_prepare_picks_lanes_friendly_cluster_size(scenes_dir):
     p = prepare(sc, accel="fused")
     m, c = p.accel.order.shape
     assert c == 128 and m > _LANES_MAX_M
+
+
+def test_hbm_streamed_tables_parity(scenes_dir, monkeypatch):
+    """The HBM-streamed sublane variant (cluster tables in one stacked HBM
+    array, visited clusters DMA'd per visit) must match the VMEM-resident
+    kernel and the composable renderer exactly. It is correct but measured
+    slower than the composable streamed pipeline at big-scene workloads
+    (docs/performance.md), so fused_supported never auto-selects it; this
+    test forces it by shrinking the VMEM table threshold."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import cutrace_tpu.ops.fused as F
+    from cutrace_tpu.ops import bvh
+    from cutrace_tpu.ops.bvh import candidates_fn
+    from cutrace_tpu.render.renderer import camera_rays, render_rays
+    from cutrace_tpu.scene.loader import load_scene
+    from cutrace_tpu.scene.soa import scene_to_soa
+
+    monkeypatch.setattr(F, "_VMEM_TABLE_SLOTS", 64)
+    sc = load_scene(scenes_dir / "bunny.json")
+    sc.camera.width, sc.camera.height = 20, 12
+    soa = scene_to_soa(sc)
+    accel = bvh.build_accel(soa, cluster_size=8, kind="fused")
+    assert accel.order.shape[0] * accel.order.shape[1] > 64
+    b = 2
+    idx = jnp.arange(soa.width * soa.height, dtype=jnp.int32)
+    o, d = camera_rays(soa, idx % soa.width, idx // soa.width)
+
+    c1, d1, n1 = F._fused_forward(soa, accel, o, d, 1e-3, b)
+    c2, d2, n2 = render_rays(soa, o, d, b, jnp.float32(1e-3),
+                             candidates_fn(accel))
+    assert float(jnp.abs(c1 - c2).max()) < 1e-5
+    both_inf = jnp.isinf(d1) & jnp.isinf(d2)
+    assert float(jnp.abs(jnp.where(both_inf, 0.0, d1 - d2)).max()) < 1e-4
+
+    # emit_topo + replay compose with the streamed tables
+    c3, _, _, codes = F._fused_forward(soa, accel, o, d, 1e-3, b,
+                                       emit_topo=True)
+    from cutrace_tpu.ops.replay import replay_render_rays
+
+    rc, _, _ = replay_render_rays(soa, o, d, codes, jnp.float32(1e-3), b)
+    assert float(jnp.abs(c3 - c1).max()) == 0.0
+    assert float(jnp.abs(rc - c3).max()) < 1e-5
+
+    # in-kernel primary cull (prefetch words past the SMEM budget)
+    monkeypatch.setattr(F, "_prefetch_primary_ok", lambda n_tiles, m: False)
+    c4, _, _ = F._fused_forward(soa, accel, o, d, 1e-3, b)
+    assert float(jnp.abs(c4 - c1).max()) == 0.0
