@@ -218,10 +218,11 @@ def build_clusters(soa, cluster_size: int = CLUSTER_SIZE) -> TriClusters:
     return clusters_from_accel(soa, build_accel(soa, cluster_size))
 
 
-def slab_test(bmin, bmax, o, d):
-    """Vectorized AABB slab test (default_schema.hpp:99-114, tavianator
-    variant with tmin initialized to 0): (R,3) rays x (M,3) boxes ->
-    (R,M) bool."""
+def slab_entry(bmin, bmax, o, d):
+    """Vectorized AABB slab interval (default_schema.hpp:99-114,
+    tavianator variant with tmin initialized to 0): (R,3) rays x (M,3)
+    boxes -> ((R,M) tmin, (R,M) tmax). The box is hit iff tmin <= tmax;
+    tmin is then the ray's entry t (a lower bound on any hit inside)."""
     with np.errstate(divide="ignore"):
         inv = 1.0 / d  # (R,3); +-inf on zero components, as the reference
     t1 = (bmin[None, :, :] - o[:, None, :]) * inv[:, None, :]  # (R,M,3)
@@ -234,6 +235,12 @@ def slab_test(bmin, bmax, o, d):
     tmin = jnp.max(jnp.where(jnp.isnan(lo), 0.0, lo), axis=-1)
     tmax = jnp.min(jnp.where(jnp.isnan(hi), jnp.inf, hi), axis=-1)
     tmin = jnp.maximum(tmin, 0.0)
+    return tmin, tmax
+
+
+def slab_test(bmin, bmax, o, d):
+    """(R,3) rays x (M,3) boxes -> (R,M) bool hit mask (see slab_entry)."""
+    tmin, tmax = slab_entry(bmin, bmax, o, d)
     return tmin <= tmax
 
 

@@ -361,6 +361,88 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             wy = cdz * cox - cdx * coz
             wz = cdx * coy - cdy * cox
 
+            # normalized direction: spheres are parametric w.r.t. it
+            # (reference quirk, default_schema.hpp:226-251) and shading
+            # needs it regardless of sphere presence
+            dlen = norm3(cdx, cdy, cdz)
+            ndx, ndy, ndz = cdx / dlen, cdy / dlen, cdz / dlen
+
+            # Plane/sphere intersections hoisted BEFORE the cluster loop:
+            # computed once, consumed by (a) the t-bound cull refinement
+            # and (b) the winner merges after the loop (merge ORDER stays
+            # triangles -> planes -> spheres: tie-breaks unchanged).
+            tp = okp = ts = oks = None
+            if has_planes:
+                # planes (default_schema.hpp:189-201)
+                pnx = plane_ref[_A_NX:_A_NX + 1, :]
+                pny = plane_ref[_A_NY:_A_NY + 1, :]
+                pnz = plane_ref[_A_NZ:_A_NZ + 1, :]
+                kp = plane_ref[_ROW_KP:_ROW_KP + 1, :]
+                pvalid = plane_ref[_ROW_VALID:_ROW_VALID + 1, :]
+                denom = cdx * pnx + cdy * pny + cdz * pnz  # (tile_r, P)
+                on = cox * pnx + coy * pny + coz * pnz
+                tp = (kp - on) / jnp.where(denom == 0.0, 1.0, denom)
+                okp = (
+                    (denom != 0.0) & jnp.isfinite(tp) & (tp > mind)
+                    & (pvalid > 0.0)
+                )
+            if has_spheres:
+                # spheres (default_schema.hpp:226-251): t parametric
+                # w.r.t. the NORMALIZED direction (reference quirk)
+                scx = sphere_ref[_A_CX:_A_CX + 1, :]
+                scy = sphere_ref[_A_CY:_A_CY + 1, :]
+                scz = sphere_ref[_A_CZ:_A_CZ + 1, :]
+                r2 = sphere_ref[_ROW_R2:_ROW_R2 + 1, :]
+                svalid = sphere_ref[_ROW_VALID:_ROW_VALID + 1, :]
+                dec = (ndx * scx + ndy * scy + ndz * scz) - (
+                    ndx * cox + ndy * coy + ndz * coz
+                )
+                oc = cox * scx + coy * scy + coz * scz
+                ec2 = (cox * cox + coy * coy + coz * coz) - 2.0 * oc + (
+                    scx * scx + scy * scy + scz * scz
+                )
+                sub = dec * dec - (ec2 - r2)
+                missed = sub <= 0.0
+                sq = jnp.sqrt(jnp.where(missed, 1.0, sub))
+                t0 = dec - sq
+                t1 = dec + sq
+                v0 = ~missed & jnp.isfinite(t0) & (t0 > mind)
+                v1 = ~missed & jnp.isfinite(t1) & (t1 > mind)
+                ts = jnp.where(
+                    v0 & v1, jnp.minimum(t0, t1),
+                    jnp.where(v0, t0, jnp.where(v1, t1, inf)),
+                )
+                oks = (v0 | v1) & (svalid > 0.0)
+
+            # t-bound cull refinement (nearest-hit casts; see the lanes
+            # kernel for the soundness argument): clusters whose slab
+            # entry lies beyond the ray's best plane/sphere hit can never
+            # win the numeric (t, key) merge and drop out of the cull.
+            t_bound = None
+            if not occl and (has_planes or has_spheres):
+                t_bound = jnp.full((tile_r, 1), inf, jnp.float32)
+                if has_planes:
+                    t_bound = jnp.minimum(t_bound, jnp.min(
+                        jnp.where(okp, tp, inf), axis=1, keepdims=True))
+                if has_spheres:
+                    t_bound = jnp.minimum(t_bound, jnp.min(
+                        jnp.where(oks, ts, inf), axis=1, keepdims=True))
+            if occl and (has_planes or has_spheres):
+                # occlusion decided by a plane/sphere: those rays need no
+                # triangle visit — drop them from the cluster cull (their
+                # flag is committed by the merges after the loop anyway)
+                pocc = jnp.zeros((tile_r, 1), jnp.float32)
+                if has_planes:
+                    pocc = jnp.maximum(pocc, jnp.max(
+                        jnp.where(okp & (tp < ldist), 1.0, 0.0),
+                        axis=1, keepdims=True))
+                if has_spheres:
+                    pocc = jnp.maximum(pocc, jnp.max(
+                        jnp.where(oks & (ts < ldist), 1.0, 0.0),
+                        axis=1, keepdims=True))
+                undecided = pocc < 0.5
+                alive = undecided if alive is None else (alive & undecided)
+
             if secondary_cull and not primary:
                 # In-kernel secondary-cast cull, packed into ceil(M/32)
                 # int32 SMEM words (2 vector->scalar syncs per word; an
@@ -396,6 +478,8 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     if occl:
                         # clusters entirely beyond the light can't occlude
                         cond &= tmn < ldist
+                    if t_bound is not None:
+                        cond &= tmn <= t_bound  # (tile_r, 1) broadcast
                     if alive is not None:
                         cond &= alive  # (tile_r, 1) over (tile_r, M)
                     anyhit = jnp.max(
@@ -468,6 +552,10 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     cond = tmn_lb <= tmx_ub  # (1, M)
                     if occl:
                         cond &= tmn_lb < rmax(ldist)
+                    if t_bound is not None:
+                        # sound upper bound over alive rays of best
+                        # plane/sphere t (dead rays excluded by rmax)
+                        cond &= tmn_lb <= rmax(t_bound)
                     anyhit = jnp.where(cond, 1.0, 0.0)
 
                 # pack the M-bit mask into int32 words: one integer
@@ -618,19 +706,6 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 bt_s[:] = jnp.where(better, tmin, best_t)
 
             if has_planes:
-                # planes (default_schema.hpp:189-201)
-                pnx = plane_ref[_A_NX:_A_NX + 1, :]
-                pny = plane_ref[_A_NY:_A_NY + 1, :]
-                pnz = plane_ref[_A_NZ:_A_NZ + 1, :]
-                kp = plane_ref[_ROW_KP:_ROW_KP + 1, :]
-                pvalid = plane_ref[_ROW_VALID:_ROW_VALID + 1, :]
-                denom = cdx * pnx + cdy * pny + cdz * pnz  # (tile_r, P)
-                on = cox * pnx + coy * pny + coz * pnz
-                tp = (kp - on) / jnp.where(denom == 0.0, 1.0, denom)
-                okp = (
-                    (denom != 0.0) & jnp.isfinite(tp) & (tp > mind)
-                    & (pvalid > 0.0)
-                )
                 if occl:
                     occ = jnp.max(
                         jnp.where(okp & (tp < ldist), 1.0, 0.0),
@@ -640,37 +715,7 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 else:
                     merge_kind(plane_ref, n_pl, tp, okp)
 
-            # normalized direction: spheres are parametric w.r.t. it
-            # (reference quirk, default_schema.hpp:226-251) and shading
-            # needs it regardless of sphere presence
-            dlen = norm3(cdx, cdy, cdz)
-            ndx, ndy, ndz = cdx / dlen, cdy / dlen, cdz / dlen
-
             if has_spheres:
-                scx = sphere_ref[_A_CX:_A_CX + 1, :]
-                scy = sphere_ref[_A_CY:_A_CY + 1, :]
-                scz = sphere_ref[_A_CZ:_A_CZ + 1, :]
-                r2 = sphere_ref[_ROW_R2:_ROW_R2 + 1, :]
-                svalid = sphere_ref[_ROW_VALID:_ROW_VALID + 1, :]
-                dec = (ndx * scx + ndy * scy + ndz * scz) - (
-                    ndx * cox + ndy * coy + ndz * coz
-                )
-                oc = cox * scx + coy * scy + coz * scz
-                ec2 = (cox * cox + coy * coy + coz * coz) - 2.0 * oc + (
-                    scx * scx + scy * scy + scz * scz
-                )
-                sub = dec * dec - (ec2 - r2)
-                missed = sub <= 0.0
-                sq = jnp.sqrt(jnp.where(missed, 1.0, sub))
-                t0 = dec - sq
-                t1 = dec + sq
-                v0 = ~missed & jnp.isfinite(t0) & (t0 > mind)
-                v1 = ~missed & jnp.isfinite(t1) & (t1 > mind)
-                ts = jnp.where(
-                    v0 & v1, jnp.minimum(t0, t1),
-                    jnp.where(v0, t0, jnp.where(v1, t1, inf)),
-                )
-                oks = (v0 | v1) & (svalid > 0.0)
                 if occl:
                     # the march compares the winner t directly against
                     # light_dist (shadow dirs are unit length, so the
@@ -1063,11 +1108,14 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
         def at(j):  # (1, tile_r) attribute row
             return at_s[j:j + 1, :]
 
-        def cull_anyhit(cox, coy, coz, cdx, cdy, cdz, ldist, alive):
+        def cull_anyhit(cox, coy, coz, cdx, cdy, cdz, ldist, alive,
+                        tbound=None):
             """(M, 1) any-ray-touches-cluster mask: slab test with
             clusters on SUBLANES — (M, R) tiles are M/8 x R/128 vregs.
             `ldist` drops clusters entirely beyond the light; `alive`
-            drops dead rays."""
+            drops dead rays; `tbound` ((1, R)) drops clusters whose slab
+            entry lies beyond the ray's best plane/sphere hit — a cluster
+            triangle there can never win the numeric (t, key) merge."""
             bmnx = aabb_ref[:, 0:1]
             bmny = aabb_ref[:, 1:2]
             bmnz = aabb_ref[:, 2:3]
@@ -1093,6 +1141,8 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             cond = tmn <= tmx
             if ldist is not None:
                 cond &= tmn < ldist
+            if tbound is not None:
+                cond &= tmn <= tbound  # (1, R) broadcast over (M, R)
             if alive is not None:
                 cond &= alive  # (1, R) broadcast over (M, R)
             return jnp.max(
@@ -1115,7 +1165,9 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             to the any-hit occlusion query (see the sublane kernel).
             `reuse_cull` skips the in-kernel cull and consumes whatever
             packed word bits_s already holds (must be a SUPERSET of this
-            cast's tight mask — see the batched occlusion cull in shade).
+            cast's tight mask; kept for kernel experiments — the batched
+            occlusion cull that used it measured 20 % slower than
+            per-light tight culls on bunny 1080p and was removed).
 
             `alive` ((1, R) bool) marks rays whose result is consumed:
             dead rays (missed at an earlier level / zero bounce weight /
@@ -1147,9 +1199,100 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             wy = cdz * cox - cdx * coz
             wz = cdx * coy - cdy * cox
 
+            # normalized direction: spheres are parametric w.r.t. it
+            # (reference quirk, default_schema.hpp:226-251) and shading
+            # needs it regardless of sphere presence
+            dlen = norm3(cdx, cdy, cdz)
+            ndx, ndy, ndz = cdx / dlen, cdy / dlen, cdz / dlen
+
+            # Plane/sphere intersections hoisted BEFORE the cluster loop:
+            # computed once, consumed by (a) the t-bound cull refinement
+            # below and (b) the winner merges after the loop (merge ORDER
+            # stays triangles -> planes -> spheres, so tie-break semantics
+            # are unchanged).
+            tp = okp = ts = oks = None
+            if has_planes:
+                # planes (default_schema.hpp:189-201), planes on sublanes
+                pnx = plane_ref[:, _A_NX:_A_NX + 1]
+                pny = plane_ref[:, _A_NY:_A_NY + 1]
+                pnz = plane_ref[:, _A_NZ:_A_NZ + 1]
+                kp = plane_ref[:, _ROW_KP:_ROW_KP + 1]
+                pvalid = plane_ref[:, _ROW_VALID:_ROW_VALID + 1]
+                denom = cdx * pnx + cdy * pny + cdz * pnz  # (P, R)
+                on = cox * pnx + coy * pny + coz * pnz
+                tp = (kp - on) / jnp.where(denom == 0.0, 1.0, denom)
+                okp = (
+                    (denom != 0.0) & jnp.isfinite(tp) & (tp > mind)
+                    & (pvalid > 0.0)
+                )
+            if has_spheres:
+                # spheres (default_schema.hpp:226-251): t parametric w.r.t.
+                # the NORMALIZED direction (reference quirk)
+                scx = sphere_ref[:, _A_CX:_A_CX + 1]
+                scy = sphere_ref[:, _A_CY:_A_CY + 1]
+                scz = sphere_ref[:, _A_CZ:_A_CZ + 1]
+                r2 = sphere_ref[:, _ROW_R2:_ROW_R2 + 1]
+                svalid = sphere_ref[:, _ROW_VALID:_ROW_VALID + 1]
+                dec = (ndx * scx + ndy * scy + ndz * scz) - (
+                    ndx * cox + ndy * coy + ndz * coz
+                )
+                oc = cox * scx + coy * scy + coz * scz
+                ec2 = (cox * cox + coy * coy + coz * coz) - 2.0 * oc + (
+                    scx * scx + scy * scy + scz * scz
+                )
+                sub = dec * dec - (ec2 - r2)
+                missed = sub <= 0.0
+                sq = jnp.sqrt(jnp.where(missed, 1.0, sub))
+                t0 = dec - sq
+                t1 = dec + sq
+                v0 = ~missed & jnp.isfinite(t0) & (t0 > mind)
+                v1 = ~missed & jnp.isfinite(t1) & (t1 > mind)
+                ts = jnp.where(
+                    v0 & v1, jnp.minimum(t0, t1),
+                    jnp.where(v0, t0, jnp.where(v1, t1, inf)),
+                )
+                oks = (v0 | v1) & (svalid > 0.0)
+
+            # t-bound cull refinement (nearest-hit casts): a cluster whose
+            # slab entry lies beyond the ray's best plane/sphere t cannot
+            # hold a (t, key)-better triangle. The comparison is in the
+            # merge's NUMERIC t space (sphere t is normalized-dir
+            # parametric — the reference quirk — and the merge compares
+            # the raw numbers, so the bound is consistent by definition).
+            # Equality keeps the cluster, preserving tie-breaks. In closed
+            # scenes (bunny's box) every bounce ray hits a wall, so
+            # clusters beyond it drop out of the visit mask for free — no
+            # new vector->scalar syncs, the compare folds into the cull.
+            t_bound = None
+            if not occl and (has_planes or has_spheres):
+                t_bound = jnp.full((1, tile_r), inf, jnp.float32)
+                if has_planes:
+                    t_bound = jnp.minimum(t_bound, jnp.min(
+                        jnp.where(okp, tp, inf), axis=0, keepdims=True))
+                if has_spheres:
+                    t_bound = jnp.minimum(t_bound, jnp.min(
+                        jnp.where(oks, ts, inf), axis=0, keepdims=True))
+            if occl and (has_planes or has_spheres):
+                # occlusion decided by a plane/sphere: those rays need no
+                # triangle visit at all — drop them from the cluster cull
+                # (their flag is committed by the merges after the loop
+                # regardless, so the output is unchanged)
+                pocc = jnp.zeros((1, tile_r), jnp.float32)
+                if has_planes:
+                    pocc = jnp.maximum(pocc, jnp.max(
+                        jnp.where(okp & (tp < ldist), 1.0, 0.0),
+                        axis=0, keepdims=True))
+                if has_spheres:
+                    pocc = jnp.maximum(pocc, jnp.max(
+                        jnp.where(oks & (ts < ldist), 1.0, 0.0),
+                        axis=0, keepdims=True))
+                undecided = pocc < 0.5
+                alive = undecided if alive is None else (alive & undecided)
+
             if not primary and not reuse_cull:
                 pack_cull(cull_anyhit(cox, coy, coz, cdx, cdy, cdz,
-                                      ldist if occl else None, alive))
+                                      ldist if occl else None, alive,
+                                      tbound=t_bound))
 
             for mi in range(m):  # static unroll: constants are lane slices
                 def visit(mi=mi):
@@ -1247,19 +1390,6 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 bt_s[:] = jnp.where(better, tmin, best_t)
 
             if has_planes:
-                # planes (default_schema.hpp:189-201), planes on sublanes
-                pnx = plane_ref[:, _A_NX:_A_NX + 1]
-                pny = plane_ref[:, _A_NY:_A_NY + 1]
-                pnz = plane_ref[:, _A_NZ:_A_NZ + 1]
-                kp = plane_ref[:, _ROW_KP:_ROW_KP + 1]
-                pvalid = plane_ref[:, _ROW_VALID:_ROW_VALID + 1]
-                denom = cdx * pnx + cdy * pny + cdz * pnz  # (P, R)
-                on = cox * pnx + coy * pny + coz * pnz
-                tp = (kp - on) / jnp.where(denom == 0.0, 1.0, denom)
-                okp = (
-                    (denom != 0.0) & jnp.isfinite(tp) & (tp > mind)
-                    & (pvalid > 0.0)
-                )
                 if occl:
                     occ = jnp.max(
                         jnp.where(okp & (tp < ldist), 1.0, 0.0),
@@ -1269,36 +1399,7 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 else:
                     merge_kind(plane_ref, n_pl, tp, okp)
 
-            dlen = norm3(cdx, cdy, cdz)
-            ndx, ndy, ndz = cdx / dlen, cdy / dlen, cdz / dlen
-
             if has_spheres:
-                # spheres (default_schema.hpp:226-251): t parametric w.r.t.
-                # the NORMALIZED direction (reference quirk)
-                scx = sphere_ref[:, _A_CX:_A_CX + 1]
-                scy = sphere_ref[:, _A_CY:_A_CY + 1]
-                scz = sphere_ref[:, _A_CZ:_A_CZ + 1]
-                r2 = sphere_ref[:, _ROW_R2:_ROW_R2 + 1]
-                svalid = sphere_ref[:, _ROW_VALID:_ROW_VALID + 1]
-                dec = (ndx * scx + ndy * scy + ndz * scz) - (
-                    ndx * cox + ndy * coy + ndz * coz
-                )
-                oc = cox * scx + coy * scy + coz * scz
-                ec2 = (cox * cox + coy * coy + coz * coz) - 2.0 * oc + (
-                    scx * scx + scy * scy + scz * scz
-                )
-                sub = dec * dec - (ec2 - r2)
-                missed = sub <= 0.0
-                sq = jnp.sqrt(jnp.where(missed, 1.0, sub))
-                t0 = dec - sq
-                t1 = dec + sq
-                v0 = ~missed & jnp.isfinite(t0) & (t0 > mind)
-                v1 = ~missed & jnp.isfinite(t1) & (t1 > mind)
-                ts = jnp.where(
-                    v0 & v1, jnp.minimum(t0, t1),
-                    jnp.where(v0, t0, jnp.where(v1, t1, inf)),
-                )
-                oks = (v0 | v1) & (svalid > 0.0)
                 if occl:
                     occ = jnp.max(
                         jnp.where(oks & (ts < ldist), 1.0, 0.0),
@@ -1357,38 +1458,6 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             accr = ambient * difr
             accg = ambient * difg
             accb = ambient * difb
-
-            # Batched occlusion cull (opaque scenes, several lights): ONE
-            # packed union word over all lights' shadow directions instead
-            # of one per light — a superset of each light's tight mask
-            # (sound), saving n_lights-1 vector->scalar syncs per shade.
-            # The per-light direction math is recomputed in the light loop
-            # (cheap (1, R) rows); only the cull is hoisted.
-            batch_cull = opaque and n_lights > 1
-            if batch_cull:
-                anyh = None
-                for ls in range(n_lights):  # static: SMEM rows by index
-                    kind_s = lights_ref[ls, 0]
-                    vx_s = lights_ref[ls, 1]
-                    vy_s = lights_ref[ls, 2]
-                    vz_s = lights_ref[ls, 3]
-                    is_sun_s = kind_s == 0.0
-                    dfx = vx_s - px
-                    dfy = vy_s - py
-                    dfz = vz_s - pz
-                    dist = norm3(dfx, dfy, dfz)
-                    dsafe = jnp.where(dist == 0.0, 1.0, dist)
-                    dirx = jnp.where(is_sun_s, -vx_s, dfx / dsafe)
-                    diry = jnp.where(is_sun_s, -vy_s, dfy / dsafe)
-                    dirz = jnp.where(is_sun_s, -vz_s, dfz / dsafe)
-                    distance = jnp.where(is_sun_s, inf, dist)
-                    dl = norm3(dirx, diry, dirz)
-                    ld_s = distance * dl  # shading.hpp:80
-                    dls = jnp.where(dl == 0.0, 1.0, dl)
-                    a = cull_anyhit(px, py, pz, dirx / dls, diry / dls,
-                                    dirz / dls, ld_s, hit)
-                    anyh = a if anyh is None else jnp.maximum(anyh, a)
-                pack_cull(anyh)
 
             def light_body(li, acc):
                 if opaque:
@@ -1777,11 +1846,60 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
     return out
 
 
+def _primary_t_bound(plane, sphere, o, d, fudge, has_planes, has_spheres):
+    """Per-ray best plane/sphere hit t ((R,) f32, +inf when none) for the
+    XLA-side primary cull: a cluster whose slab entry lies beyond it can
+    never win the numeric (t, key) merge (same bound the kernels apply to
+    secondary casts in-kernel). Consumes the kernel's own (24, P)/(24, S)
+    tables so the math is identical by construction; sphere t keeps the
+    reference's normalized-direction parametrization
+    (default_schema.hpp:226-251) — the merge compares raw numbers, so the
+    bound is consistent with it by definition."""
+    inf = jnp.float32(jnp.inf)
+    tb = jnp.full((o.shape[0],), inf, jnp.float32)
+    if has_planes:
+        pn = plane[_A_NX:_A_NZ + 1, :]  # (3, P)
+        kp = plane[_ROW_KP, :]
+        pvalid = plane[_ROW_VALID, :]
+        denom = d @ pn  # (R, P)
+        on = o @ pn
+        tp = (kp[None, :] - on) / jnp.where(denom == 0.0, 1.0, denom)
+        okp = (
+            (denom != 0.0) & jnp.isfinite(tp) & (tp > fudge)
+            & (pvalid[None, :] > 0.0)
+        )
+        tb = jnp.minimum(tb, jnp.min(jnp.where(okp, tp, inf), axis=1))
+    if has_spheres:
+        nd = d / jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))
+        sc = sphere[_A_CX:_A_CZ + 1, :]  # (3, S)
+        r2 = sphere[_ROW_R2, :]
+        svalid = sphere[_ROW_VALID, :]
+        dec = nd @ sc - jnp.sum(nd * o, axis=1, keepdims=True)  # (R, S)
+        oc = o @ sc
+        ec2 = (
+            jnp.sum(o * o, axis=1, keepdims=True) - 2.0 * oc
+            + jnp.sum(sc * sc, axis=0)[None, :]
+        )
+        sub = dec * dec - (ec2 - r2[None, :])
+        missed = sub <= 0.0
+        sq = jnp.sqrt(jnp.where(missed, 1.0, sub))
+        t0, t1 = dec - sq, dec + sq
+        v0 = ~missed & jnp.isfinite(t0) & (t0 > fudge)
+        v1 = ~missed & jnp.isfinite(t1) & (t1 > fudge)
+        tss = jnp.where(
+            v0 & v1, jnp.minimum(t0, t1),
+            jnp.where(v0, t0, jnp.where(v1, t1, inf)),
+        )
+        oks = (v0 | v1) & (svalid[None, :] > 0.0)
+        tb = jnp.minimum(tb, jnp.min(jnp.where(oks, tss, inf), axis=1))
+    return tb
+
+
 def _fused_forward(soa, accel, o, d, fudge, bounces, emit_topo=False):
     """Forward fused render of explicit rays. Returns (color (R,3),
     depth (R,), normal (R,3)); with emit_topo also the (R, K) i32
     topology codes (ops/replay.py layout)."""
-    from cutrace_tpu.ops.bvh import slab_test
+    from cutrace_tpu.ops.bvh import slab_entry
 
     sg = jax.lax.stop_gradient
     o0 = sg(soa.scene_center)
@@ -1821,8 +1939,18 @@ def _fused_forward(soa, accel, o, d, fudge, bounces, emit_topo=False):
     else:
         bmin = aabb[0:3].T
         bmax = aabb[3:6].T
+        # t-bound cull refinement: clusters whose slab entry lies beyond
+        # the ray's best plane/sphere hit drop out of the primary mask
+        # (same bound the kernels apply to secondary casts; padding rays
+        # get +inf = no refinement, keeping their mask unchanged).
+        tbound = _primary_t_bound(
+            plane, sphere, o, d, jnp.float32(fudge),
+            soa.n_planes > 0, soa.n_spheres > 0,
+        )
+        tbound = pad_to(tbound, jnp.inf)
         if r_pad * m <= (1 << 27):
-            ray_hits = slab_test(bmin, bmax, rays[:, 0:3], rays[:, 3:6])
+            lo, hi = slab_entry(bmin, bmax, rays[:, 0:3], rays[:, 3:6])
+            ray_hits = (lo <= hi) & (lo <= tbound[:, None])
             tile_hits = ray_hits.reshape(n_tiles, tile_r, m).any(axis=1)
         else:
             # big partitions: the (R, M) slab-test intermediate would be
@@ -1830,19 +1958,21 @@ def _fused_forward(soa, accel, o, d, fudge, bounces, emit_topo=False):
             # bounded)
             batch = max(1, (1 << 24) // (tile_r * m))
             n_b = -(-n_tiles // batch)
-            rt = jnp.zeros((n_b * batch, tile_r, 6), jnp.float32)
+            rt = jnp.zeros((n_b * batch, tile_r, 7), jnp.float32)
             rt = rt.at[:n_tiles].set(
-                rays[:, 0:6].reshape(n_tiles, tile_r, 6)
+                jnp.concatenate([rays[:, 0:6], tbound[:, None]], axis=1)
+                .reshape(n_tiles, tile_r, 7)
             )
 
-            def tile_mask(chunk):  # (batch, tile_r, 6) -> (batch, M)
-                h = slab_test(bmin, bmax,
-                              chunk[..., 0:3].reshape(-1, 3),
-                              chunk[..., 3:6].reshape(-1, 3))
+            def tile_mask(chunk):  # (batch, tile_r, 7) -> (batch, M)
+                lo, hi = slab_entry(bmin, bmax,
+                                    chunk[..., 0:3].reshape(-1, 3),
+                                    chunk[..., 3:6].reshape(-1, 3))
+                h = (lo <= hi) & (lo <= chunk[..., 6].reshape(-1)[:, None])
                 return h.reshape(-1, tile_r, m).any(axis=1)
 
             tile_hits = jax.lax.map(
-                tile_mask, rt.reshape(n_b, batch, tile_r, 6)
+                tile_mask, rt.reshape(n_b, batch, tile_r, 7)
             ).reshape(n_b * batch, m)[:n_tiles]
         # bit-pack per-tile cluster masks into int32 words: the prefetched
         # SMEM operand is (n_tiles, ceil(M/32)) instead of (n_tiles, M) —
