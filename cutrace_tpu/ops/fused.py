@@ -137,9 +137,14 @@ def fused_supported(soa, accel, bounces: int) -> bool:
     # (hbm_tables in _make_kernel) is CORRECT but measured 12x slower than
     # the composable streamed pipeline at the big-scene workloads
     # (docs/performance.md "Streamed-fused negative result"), so the
-    # composable path keeps the >256k regime.
+    # composable path keeps the >256k regime in production. The variant
+    # stays reachable for kernel experiments (it is the starting point
+    # for a future chunked-DMA fused streamer) behind CUTRACE_FUSED_HBM=1.
     if m * c > _VMEM_TABLE_SLOTS:
-        return False
+        import os
+
+        if os.environ.get("CUTRACE_FUSED_HBM") != "1":
+            return False
     # The in-kernel unroll costs ~2 cast blocks per wave node (the light
     # and shadow-march loops are dynamic fori_loops, so they don't
     # multiply program size). 63 nodes = a two-branch bounces=5 tree

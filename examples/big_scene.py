@@ -22,12 +22,7 @@ import time
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
-try:
-    import cutrace_tpu  # noqa: F401  (installed: pip install -e .)
-except ImportError:  # running from a source checkout without install
-    import sys
-
-    sys.path.insert(0, str(REPO))
+import cutrace_tpu  # noqa: F401  (install with: pip install -e .)
 
 
 def main():

@@ -73,3 +73,61 @@ def test_fit_resume(scenes_dir, tmp_path):
     # resume: all 6 steps already done -> no more steps executed
     _, losses2 = fit(corrupt, target, mesh, **kw)
     assert len(losses2) == 0
+
+
+def test_shadow_march_cap_deviation(scenes_dir):
+    """The shadow-march step cap's documented deviation (scene/soa.py
+    warning): for transparency >= 1 - 1/steps the capped march may
+    under-accumulate shadow opacity vs the reference's unbounded march
+    (shading.hpp:22-45). Gate: the warning fires, and the deviation is
+    EXACTLY the analytic shortfall (steps_capped vs steps_exact occluder
+    contributions), never more.
+
+    Geometry: camera at origin looking +z at a tilted ground plane; 6
+    transparent (t=0.9) spheres stacked along the shadow ray to a point
+    light. Each sphere's entry AND exit surface counts as one occluder
+    step (the reference's march advances past the last hit by 1e-3 and
+    re-finds the same sphere's far root) -> 12 available occluder hits of
+    opacity 0.1 each; the exact march saturates sh=1.0 after 10 steps."""
+    import warnings
+
+    import pytest
+
+    from cutrace_tpu.render.renderer import render
+    from cutrace_tpu.scene import types as T
+
+    def build():
+        sc = T.Scene(
+            objects=[T.Plane([0, 0, 5], [0, 1, -1], 0)]
+            + [T.Sphere([0, 1 + 0.5 * k, 5], 0.2, 1) for k in range(6)],
+            lights=[T.PointLight([0, 5, 5], [1, 1, 1])],
+            materials=[
+                T.SolidMaterial([1, 1, 1], specular=0.0),
+                T.SolidMaterial([1, 1, 1], transparency=0.9),
+            ],
+            camera=T.Camera(width=2, height=2),
+        )
+        return sc.reindex()
+
+    # capped: 4 steps < exact 10 -> warning + under-accumulation
+    with pytest.warns(UserWarning, match="capped at 4"):
+        soa4 = scene_to_soa(build(), shadow_steps=4)
+    # exact: 12 steps >= 10 needed -> no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        soa12 = scene_to_soa(build(), shadow_steps=12)
+    assert soa4.shadow_steps == 4 and soa12.shadow_steps == 10
+
+    c4 = np.asarray(render(soa4, bounces=1)[0])[1, 1]
+    c12 = np.asarray(render(soa12, bounces=1)[0])[1, 1]
+
+    ambient = 0.1
+    fd = 1.0 / np.sqrt(2.0)  # dot(unit plane normal, shadow dir)
+    # exact march saturates: sh = 1.0 -> ambient only
+    np.testing.assert_allclose(c12, ambient, atol=1e-3)
+    # capped march: sh = 4 * (1 - 0.9) = 0.4 -> brighter by (1-sh) * fd
+    np.testing.assert_allclose(c4, ambient + 0.6 * fd, atol=1e-3)
+    # the deviation is one-sided (capped can only under-shadow) and
+    # bounded by 1 - steps*(1-t_max) worth of light
+    assert (c4 - c12 >= -1e-6).all()
+    assert (c4 - c12 <= 1.0 - 4 * (1.0 - 0.9) + 1e-6).all()
