@@ -1,11 +1,18 @@
 """Benchmark: bunny.json at 1920x1080, bounce depth 5, on the default
-backend (one TPU chip under the driver). Prints ONE JSON line.
+backend (one TPU chip under the driver).
 
-Metric: million ray casts per second. A "ray cast" is one nearest-hit scene
-query (ray_cast.hpp:29-55): per pixel the unrolled bounce tree performs
-`nodes * (1 + n_lights * shadow_steps)` casts (primary + shadow marches per
-tree node) — 30 casts/pixel for bunny (6-node reflection chain, 4 lights,
-opaque scene), 62.2M casts per 1080p frame.
+Prints TWO JSON lines: first the BACKWARD metric (full value_and_grad step
+through the fused forward + topology-replay backward, w.r.t. all 19
+differentiable parameter groups — BASELINE.md "forward + backward kernels
+at speed-of-light"), then the headline FORWARD metric (LAST line — the
+driver's parsed record). The forward line also embeds the backward numbers
+as extra keys.
+
+Forward metric: million ray casts per second. A "ray cast" is one
+nearest-hit scene query (ray_cast.hpp:29-55): per pixel the unrolled bounce
+tree performs `nodes * (1 + n_lights * shadow_steps)` casts (primary +
+shadow marches per tree node) — 30 casts/pixel for bunny (6-node reflection
+chain, 4 lights, opaque scene), 62.2M casts per 1080p frame.
 
 vs_baseline compares against the reference renderer's own headline: the
 CUDA reference publishes no numbers (BASELINE.md), so the baseline constant
@@ -78,8 +85,10 @@ def main():
         np.asarray(out[1][0, :8])
         times.append(time.perf_counter() - t0)
     dt = min(times)
-
     mcasts = total_casts / dt / 1e6
+
+    grad = bench_backward(prepared, total_casts)
+    print(json.dumps(grad))
     print(
         json.dumps(
             {
@@ -87,9 +96,75 @@ def main():
                 "value": round(mcasts, 3),
                 "unit": "Mcasts/s",
                 "vs_baseline": round(mcasts / BASELINE_MCASTS_PER_S, 3),
+                "grad_step_s": grad["value"],
+                "grad_mcasts_per_s": grad["mcasts_per_s"],
+                "grad_backward": grad["backward"],
             }
         )
     )
+
+
+def bench_backward(prepared, total_casts):
+    """Full value_and_grad step at the flagship size: fused forward (with
+    topology emission) + cast-free replay backward (ops/replay.py) w.r.t.
+    all differentiable parameter groups. The 30-row code buffer at 1080p is
+    249 MB — inside REPLAY_MAX_CODE_BYTES, so the replay path (not the
+    composable re-render fallback) is what this measures; the "backward"
+    key records which one actually ran."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cutrace_tpu.diff.grad import extract_params, with_params
+    from cutrace_tpu.ops.fused import (TILE_R, fused_render_rays,
+                                       replay_supported)
+    from cutrace_tpu.render.renderer import _block_order, camera_rays
+
+    soa, accel = prepared.soa, prepared.accel
+    n = WIDTH * HEIGHT
+    n_pad = -(-n // TILE_R) * TILE_R
+    order, _ = _block_order(WIDTH, HEIGHT, n_pad)
+    idx = jnp.asarray(order)
+    replay = bool(replay_supported(soa, accel, BOUNCES, n_rays=n_pad))
+
+    import jax
+
+    tgt, _, _ = fused_render_rays(
+        soa, accel,
+        *camera_rays(soa, idx % WIDTH, idx // WIDTH), 1e-3, BOUNCES,
+    )
+    tgt = jax.lax.stop_gradient(tgt) * 0.9
+
+    def loss(params, soa_):
+        s = with_params(soa_, params)
+        o, d = camera_rays(s, idx % WIDTH, idx // WIDTH)
+        c, _, _ = fused_render_rays(s, accel, o, d, 1e-3, BOUNCES)
+        return jnp.mean((c - tgt) ** 2)
+
+    step = jax.jit(jax.value_and_grad(loss))
+    params = extract_params(soa)
+    out = step(params, soa)
+    np.asarray(out[0])  # compile + warm (fetch forces completion)
+
+    times = []
+    for k in range(3):
+        # perturb a traced PARAM between iterations (result-cache
+        # discipline, docs/performance.md "Measurement discipline")
+        p_k = dict(params, ambient=params["ambient"] + 1e-9 * (k + 1))
+        t0 = time.perf_counter()
+        loss_v, grads = step(p_k, soa)
+        np.asarray(loss_v)
+        np.asarray(grads["mat_color"])[:1]
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return {
+        "metric": "bunny_1080p_grad_step",
+        "value": round(dt, 3),
+        "unit": "s/step",
+        "mcasts_per_s": round(total_casts / dt / 1e6, 3),
+        "backward": "replay" if replay else "composable",
+    }
 
 
 if __name__ == "__main__":

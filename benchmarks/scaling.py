@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--bounces", type=int, default=3)
     ap.add_argument("--cpu", action="store_true",
                     help="force the virtual CPU mesh (mechanics check)")
+    ap.add_argument("--artifact", default=None,
+                    help="write a SCALING_r*.json artifact to this path")
     args = ap.parse_args()
 
     if args.cpu:
@@ -70,6 +72,37 @@ def main():
     if sizes[-1] != n_dev:
         sizes.append(n_dev)
 
+    # --- work invariance (compiler-reported, contention-free) ---------
+    # Wall clock on a virtual CPU mesh measures host-core contention, not
+    # scaling (all N "devices" share the same physical cores). The
+    # compiled per-device program is contention-free evidence: with
+    # pixels sharded and the scene replicated, each device's compiled
+    # FLOPs must be ~total/N (communication-free forward — also machine-
+    # checked by tests/test_hlo.py). invariance = total_flops_1 /
+    # (per_device_flops_N * N); 1.0 = perfectly even division of work.
+    from cutrace_tpu.parallel.sharding import _render_sharded_jit, shard_scene
+
+    invariance_rows = []
+    flops1 = None
+    for n in sizes:
+        mesh = make_mesh(n, 1, devices=jax.devices()[:n])
+        ssoa = shard_scene(soa, mesh)
+        compiled = _render_sharded_jit.lower(
+            ssoa, mesh, 1e-3, args.bounces, None
+        ).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", float("nan")))
+        if flops1 is None:
+            flops1 = flops
+        row = {
+            "devices": n,
+            "per_device_gflops": round(flops / 1e9, 4),
+            "work_invariance": round(flops1 / (flops * n), 4),
+        }
+        invariance_rows.append(row)
+        print(json.dumps(row))
+
     base = None
     results = []
     for n in sizes:
@@ -99,6 +132,37 @@ def main():
         "speedup": round(mcasts / base, 2),
         "scaling_efficiency": round(eff, 3),
     }))
+
+    if args.artifact:
+        artifact = {
+            "note": (
+                "Multi-chip TPU hardware is unavailable here (one v5e via "
+                "tunnel). The CONTENDED wall clock below measures N virtual "
+                "CPU devices sharing the host's physical cores — NOT ICI "
+                "scaling. The contention-free evidence is (a) "
+                "work_invariance: compiled per-device FLOPs = total/N "
+                "(even pixel split, scene replicated), and (b) "
+                "tests/test_hlo.py: the compiled sharded forward contains "
+                "ZERO collective ops and the train step only parameter-"
+                "sized psums — the forward moves no bytes between chips, "
+                "so per-chip throughput is invariant in N by construction."
+            ),
+            "config": {
+                "scene": pathlib.Path(args.scene).name,
+                "width": args.width, "height": args.height,
+                "bounces": args.bounces,
+            },
+            "work_invariance": invariance_rows,
+            "contended_wall_clock": [
+                {"devices": nn, "mcasts_per_s": round(mm, 2),
+                 "efficiency_vs_linear": round(ee, 3)}
+                for nn, mm, ee in results
+            ],
+        }
+        pathlib.Path(args.artifact).write_text(
+            json.dumps(artifact, indent=1) + "\n"
+        )
+        print(f"wrote {args.artifact}")
 
 
 if __name__ == "__main__":

@@ -1066,12 +1066,44 @@ _EXACT_CULL_MAX_M = 2048
 def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                        any_refl, any_transp, tile_r,
                        has_planes, has_spheres, node_skip=True,
-                       emit_topo=False, prefetch_primary=True):
+                       emit_topo=False, prefetch_primary=True,
+                       defer_attrs=True, refresh_at=()):
     """Rays-on-lanes kernel body (see block comment above). Operand
     layouts: rays/out (8, tile_r); triangle tables (C, M); aabb (M, 8);
-    plane/sphere tables (P|S, 24)."""
+    plane/sphere tables (P|S, 24).
+
+    `defer_attrs`: nearest-hit casts track only (t, order-key, cluster)
+    during the cluster loop and fetch the 11 winner attribute columns in a
+    post-loop pass over just the clusters CONTAINING winners (typically
+    1-3 vs the 5-12 visited) — the per-visit one-hot attr accumulation was
+    ~40 % of visit cost. Output-invariant: `order` is the globally unique
+    original triangle index, so `col("order") == best_key` selects exactly
+    the winning slot; the winner-cluster guard masks no-hit rays (whose
+    _BIGF key would otherwise match padding slots). Costs one extra
+    vector->scalar sync per nearest cast (the winner-cluster word pack).
+
+    `refresh_at`: static unroll positions at which nearest-hit casts
+    re-cull the REMAINING clusters against the evolving triangle best-t
+    (min'd with the static plane/sphere bound): a cluster whose slab entry
+    exceeds every alive ray's current best t cannot win the (t, key) merge
+    (strictly greater t — ties keep the cluster via <=), so pruning it is
+    output-invariant. This is the dynamic half of the front-to-back
+    ordered-visit win (ray_cast.hpp:29-55 nearest-hit contract preserved;
+    only the visit SET shrinks): one slab recompute + word re-pack (~1 us
+    sync) per refresh point buys skipping visits the static spatial order
+    would still have paid."""
     n_words = -(-m // 32)  # packed cull-mask words per tile
     opaque = not any_transp
+    # Ablation knobs for kernel-cost attribution (WRONG OUTPUT, exact
+    # timing): CUTRACE_ABLATE=novisit2 skips secondary nearest-cast
+    # cluster loops, noocc skips occlusion casts, noshade skips the light
+    # loop. Timing-differencing these isolates where a frame goes
+    # (docs/performance.md). Never set in production; each bench run is a
+    # fresh process so the env is read coherently at trace time.
+    import os
+
+    ablate = set(filter(None, os.environ.get(
+        "CUTRACE_ABLATE", "").split(",")))
     # topology emission (ops/replay.py): full casts also track the winner
     # CODE column; shadow-march casts track it too in transparent scenes
     # (opaque shadows store only the occlusion flag)
@@ -1184,6 +1216,11 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             accumulation masks by `act`), and all winner fields stay
             finite either way (no NaN * 0)."""
             occl = ldist is not None
+            # deferred attribute fetch (see _make_kernel_lanes docstring):
+            # the winner-cluster id rides in mst_s row 6 (march state uses
+            # rows 0-5 only, and full casts never run inside the light
+            # loop, so the row is free for the cast's duration)
+            defer = defer_attrs and full and not occl
             if occl:
                 bt_s[:] = jnp.zeros((1, tile_r), jnp.float32)
             else:
@@ -1193,6 +1230,8 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 at_s[_A_OBJ:_A_OBJ + 1, :] = jnp.full(
                     (1, tile_r), _BIGF
                 )
+                if defer:
+                    mst_s[6:7, :] = jnp.full((1, tile_r), -1.0)
                 if emit_topo:
                     at_s[_A_CODE:_A_CODE + 1, :] = jnp.full(
                         (1, tile_r), -1.0
@@ -1294,7 +1333,9 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 undecided = pocc < 0.5
                 alive = undecided if alive is None else (alive & undecided)
 
-            if not primary and not reuse_cull:
+            if (not primary and not reuse_cull
+                    and not ("nocull2" in ablate and not occl)
+                    and not ("nocullo" in ablate and occl)):
                 pack_cull(cull_anyhit(cox, coy, coz, cdx, cdy, cdz,
                                       ldist if occl else None, alive,
                                       tbound=t_bound))
@@ -1348,17 +1389,52 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     better = (tmin < best_t) | (
                         (tmin == best_t) & (kmin < best_k)
                     )
-                    oneh = ((t == tmin) & (key == kmin)).astype(jnp.float32)
-                    for name, j in attr_cols:
-                        val = jnp.sum(oneh * col(name), axis=0,
-                                      keepdims=True)
-                        at_s[j:j + 1, :] = jnp.where(
-                            better, val, at_s[j:j + 1, :]
+                    if defer:
+                        mst_s[6:7, :] = jnp.where(
+                            better, float(mi), mst_s[6:7, :]
                         )
+                    else:
+                        oneh = ((t == tmin) & (key == kmin)).astype(
+                            jnp.float32)
+                        for name, j in attr_cols:
+                            val = jnp.sum(oneh * col(name), axis=0,
+                                          keepdims=True)
+                            at_s[j:j + 1, :] = jnp.where(
+                                better, val, at_s[j:j + 1, :]
+                            )
                     bt_s[:] = jnp.where(better, tmin, best_t)
                     bk_s[:] = jnp.where(better, kmin, best_k)
 
-                if primary:
+                if (mi in refresh_at) and 0 < mi < m:
+                    if occl:
+                        # occlusion refresh: drop rays whose shadow is
+                        # already DECIDED by an earlier visit from the
+                        # cull — remaining clusters needed by nobody
+                        # vanish (output-invariant: decided flags are
+                        # committed, bt_s only ever maxes upward)
+                        alive2 = bt_s[:] == 0.0
+                        if alive is not None:
+                            alive2 &= alive
+                        pack_cull(cull_anyhit(cox, coy, coz, cdx, cdy,
+                                              cdz, ldist, alive2))
+                    else:
+                        # best-t refresh: re-cull the remaining clusters
+                        # against the evolving triangle best t (docstring)
+                        tb2 = bt_s[:]
+                        if t_bound is not None:
+                            tb2 = jnp.minimum(tb2, t_bound)
+                        pack_cull(cull_anyhit(cox, coy, coz, cdx, cdy,
+                                              cdz, None, alive,
+                                              tbound=tb2))
+                refreshed = any(0 < p <= mi for p in refresh_at)
+                skip_visit = (
+                    ("novisit2" in ablate and not primary)
+                    or ("novisito" in ablate and occl)
+                    or ("novisitn" in ablate and not primary and not occl)
+                )
+                if skip_visit:
+                    pass
+                elif primary and not refreshed:
                     word = hits_ref[i * n_words + mi // 32]
                     @pl.when(((word >> (mi % 32)) & 1) != 0)
                     def _():
@@ -1367,6 +1443,37 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     @pl.when(((bits_s[0] >> mi) & 1) != 0)
                     def _():
                         visit()
+
+            if defer:
+                # Post-loop winner-attribute pass: one pass per cluster
+                # CONTAINING a winner (word = packed one-hot of mst_s row
+                # 6 values). `order` is globally unique, so the key match
+                # selects exactly the winning slot; `mine` guards no-hit
+                # rays (key _BIGF == padding-slot order 2^30).
+                if emit_topo:
+                    at_s[_A_CODE:_A_CODE + 1, :] = jnp.where(
+                        jnp.isfinite(bt_s[:]), bk_s[:], -1.0
+                    )
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (m, 1), 0).astype(jnp.float32)
+                win = jnp.max(
+                    jnp.where(mst_s[6:7, :] == lane, 1.0, 0.0),
+                    axis=1, keepdims=True,
+                )
+                pack_cull(win)
+                for mi in range(m):
+                    @pl.when(((bits_s[0] >> mi) & 1) != 0)
+                    def _(mi=mi):
+                        col = lambda name: tabs[name][:, mi:mi + 1]
+                        oneh = (col("order") == bk_s[:]).astype(
+                            jnp.float32)  # (C, R)
+                        mine = mst_s[6:7, :] == float(mi)
+                        for name, j in _TRI_ATTRS:
+                            val = jnp.sum(oneh * col(name), axis=0,
+                                          keepdims=True)
+                            at_s[j:j + 1, :] = jnp.where(
+                                mine, val, at_s[j:j + 1, :]
+                            )
 
             def merge_kind(tab_ref, n, t, ok):
                 """Cross-kind merge by (t, scene obj); kinds on sublanes."""
@@ -1498,16 +1605,20 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
 
                 # shadow march (shading.hpp:22-45)
                 if opaque:
-                    # per-light tight cull (a batched union cull over all
-                    # lights was measured 20 % SLOWER on bunny 1080p: the
-                    # union's extra occlusion visits cost far more than
-                    # the n_lights-1 saved vector->scalar syncs)
-                    cast(px, py, pz, sdx, sdy, sdz,
-                         jnp.zeros((1, tile_r), jnp.float32) + 1e-3,
-                         full=False, primary=False, ldist=light_dist,
-                         alive=hit)
-                    occ = hit & (bt_s[:] > 0.0)
-                    sh = jnp.where(occ, 1.0, 0.0)
+                    if "noocc" in ablate:
+                        sh = jnp.zeros((1, tile_r), jnp.float32)
+                    else:
+                        # per-light tight cull (a batched union cull over
+                        # all lights was measured 20 % SLOWER on bunny
+                        # 1080p: the union's extra occlusion visits cost
+                        # far more than the n_lights-1 saved
+                        # vector->scalar syncs)
+                        cast(px, py, pz, sdx, sdy, sdz,
+                             jnp.zeros((1, tile_r), jnp.float32) + 1e-3,
+                             full=False, primary=False, ldist=light_dist,
+                             alive=hit)
+                        occ = hit & (bt_s[:] > 0.0)
+                        sh = jnp.where(occ, 1.0, 0.0)
                     if topo_base is not None:
                         out_ref[pl.ds(topo_base + li, 1), :] = sh
                 else:
@@ -1569,7 +1680,9 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 mst_s[5:6, :] = accb
                 return 0
 
-            if opaque:
+            if "noshade" in ablate:
+                pass
+            elif opaque:
                 accr, accg, accb = jax.lax.fori_loop(
                     0, n_lights, light_body, (accr, accg, accb)
                 )
@@ -1710,13 +1823,14 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
     jax.jit,
     static_argnames=("bounces", "shadow_steps", "any_refl", "any_transp",
                      "n_lights", "interpret", "tile_r", "secondary_cull",
-                     "has_planes", "has_spheres", "node_skip", "emit_topo"),
+                     "has_planes", "has_spheres", "node_skip", "emit_topo",
+                     "defer_attrs", "refresh_at"),
 )
 def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
                bounces, shadow_steps, any_refl, any_transp, n_lights,
                interpret, tile_r=TILE_R, secondary_cull=True,
                has_planes=True, has_spheres=True, node_skip=True,
-               emit_topo=False):
+               emit_topo=False, defer_attrs=True, refresh_at=None):
     m, c = tables["k"].shape
     n_pl = plane.shape[1]
     n_sp = sphere.shape[1]
@@ -1746,12 +1860,22 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
         n_nodes = len(nodes_l)
 
     if m <= _LANES_MAX_M and tile_r % 128 == 0:
+        if refresh_at is None:
+            # Default: NO mid-loop best-t refresh. Measured on bunny 1080p
+            # b5 (round 3): refresh at (8,) is ~neutral, (4,8,12) is 9 %
+            # SLOWER — the cull is a per-tile UNION over 512 divergent
+            # rays, so the evolving per-ray best-t almost never empties a
+            # cluster for the whole tile, and each refresh pays its slab
+            # recompute for nothing. The mechanism stays (refresh_at /
+            # CUTRACE_REFRESH_AT) as the documented negative result.
+            refresh_at = ()
         # fast path: rays-on-lanes kernel, cluster loop statically unrolled
         kernel = _make_kernel_lanes(
             m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             any_refl, any_transp, tile_r, has_planes, has_spheres,
             node_skip=node_skip, emit_topo=emit_topo,
             prefetch_primary=_prefetch_primary_ok(n_tiles, m),
+            defer_attrs=defer_attrs, refresh_at=tuple(refresh_at),
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # packed cull words
@@ -1912,8 +2036,10 @@ def _fused_forward(soa, accel, o, d, fudge, bounces, emit_topo=False):
     lights = _light_table(soa, o0)
     m = tables["k"].shape[0]
 
+    import os as _os
+
     r = o.shape[0]
-    tile_r = TILE_R
+    tile_r = int(_os.environ.get("CUTRACE_TILE_R", TILE_R))
     r_pad = _ceil_to(r, tile_r)
     pad = r_pad - r
 
@@ -2004,6 +2130,13 @@ def _fused_forward(soa, accel, o, d, fudge, bounces, emit_topo=False):
     # is an A/B override for kernel experiments.
     ns_env = os.environ.get("CUTRACE_NODE_SKIP")
     node_skip = soa.chains_die if ns_env is None else ns_env != "0"
+    # A/B overrides for the lanes kernel's deferred-attrs / best-t-refresh
+    # optimizations (kernel experiments; defaults are the measured winners)
+    da_env = os.environ.get("CUTRACE_DEFER_ATTRS")
+    defer_attrs = True if da_env is None else da_env != "0"
+    ra_env = os.environ.get("CUTRACE_REFRESH_AT")
+    refresh_at = (None if ra_env is None else
+                  tuple(int(x) for x in ra_env.split(",") if x))
     out = _run_fused(
         tables, aabb, plane, sphere, lights, rays, hits, scalars,
         bounces=bounces, shadow_steps=soa.shadow_steps,
@@ -2012,6 +2145,7 @@ def _fused_forward(soa, accel, o, d, fudge, bounces, emit_topo=False):
         secondary_cull=True, tile_r=tile_r,
         has_planes=soa.n_planes > 0, has_spheres=soa.n_spheres > 0,
         node_skip=node_skip, emit_topo=emit_topo,
+        defer_attrs=defer_attrs, refresh_at=refresh_at,
     )[:r]
     if emit_topo:
         if m <= _LANES_MAX_M and tile_r % 128 == 0:

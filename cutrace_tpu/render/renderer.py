@@ -83,15 +83,21 @@ def prepare(scene_or_soa, accel: str = "auto") -> PreparedScene:
     # lanes range (T > 31*128) the sublane kernel runs with C=128
     # (full-lane (tile_r, C) intersection tiles).
     if accel == "fused":
+        import os
+
         from cutrace_tpu.ops.fused import _LANES_MAX_M
 
         # C=32 measured slower (129 vs 136 Mcasts/s on bunny: per-cluster
         # unroll overhead beats the finer cull), so 64 is the floor.
+        # CUTRACE_CLUSTER_C overrides for kernel experiments.
         size = 128
         for c in (64, 128):
             if n_tris <= _LANES_MAX_M * c:
                 size = c
                 break
+        c_env = os.environ.get("CUTRACE_CLUSTER_C")
+        if c_env:
+            size = int(c_env)
     else:
         size = bvh.CLUSTER_SIZE
     return PreparedScene(

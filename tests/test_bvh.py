@@ -111,6 +111,7 @@ def mirror_small(request):
 
 
 @pytest.mark.parametrize("kind", ["clusters", "pallas"])
+@pytest.mark.slow
 def test_vertex_gradients_through_accel(mirror_small, kind):
     """Round-1 regression (VERDICT.md item 3): with acceleration on,
     d loss/d tri_p1 must match the brute-force gradient — the winner's
@@ -161,6 +162,7 @@ def test_prepared_scene_never_stale(scenes_dir, kind):
     assert np.isclose(out, ref, atol=1e-3).mean() > 0.999
 
 
+@pytest.mark.slow
 def test_pallas_kernel_streamed_chunks(bunny, monkeypatch):
     """Partitions beyond M_CHUNK clusters stream chunk-by-chunk through
     the kernel (lax.map) and combine by (t, order) — winner-for-winner

@@ -119,6 +119,7 @@ def test_miss_semantics(scenes_dir):
     assert (c[miss] == 0).all()
 
 
+@pytest.mark.slow
 def test_wavefront_matches_recursive(scenes_dir):
     """The production wavefront bounce evaluation must agree with the
     direct transcription of the reference recursion (identical semantics,

@@ -56,10 +56,11 @@ def _compare(base, out, names=("color", "depth", "normal"), atol=1e-4,
     [
         ("triangle.json", 5),     # no branches
         ("bunny.json", 3),        # reflection chain, 4 lights, mesh+planes
-        ("mirror.json", 3),       # strong mirrors, 2 lights
-        ("sphere_plane.json", 3), # reflective AND transparent (15-node
-                                  # tree), spheres + transparency shadow
-                                  # march
+        pytest.param("mirror.json", 3,        # strong mirrors, 2 lights
+                     marks=pytest.mark.slow),
+        pytest.param("sphere_plane.json", 3,  # reflective AND transparent
+                     marks=pytest.mark.slow), # (15-node tree), spheres +
+                                              # transparency shadow march
     ],
 )
 def test_fused_matches_composable(scenes_dir, scene, bounces):
@@ -69,6 +70,7 @@ def test_fused_matches_composable(scenes_dir, scene, bounces):
     _compare(base, out, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_out_of_scope_falls_back(scenes_dir):
     """sphere_plane at bounce depth 6 (127-node two-branch tree) exceeds
     the fused kernel's 63-node unroll budget — render() must fall back to
@@ -85,6 +87,7 @@ def test_fused_out_of_scope_falls_back(scenes_dir):
     _compare(base, out, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_gradients_via_composable_backward(scenes_dir):
     """jax.grad through a fused render must match brute-force gradients
     (the custom_vjp reroutes the backward through the composable path) —
@@ -178,6 +181,7 @@ def test_subdivided_mesh_renders_identically(scenes_dir):
     _compare(base, out, atol=2e-4, edge_budget=0.10)
 
 
+@pytest.mark.slow
 def test_fused_no_lights(scenes_dir):
     """A scene with zero lights must render (ambient-only) through the
     fused kernel: the lights SMEM operand shaped (0, 8) crashed the TPU
@@ -211,6 +215,7 @@ def test_prepare_picks_lanes_friendly_cluster_size(scenes_dir):
     assert c == 128 and m > _LANES_MAX_M
 
 
+@pytest.mark.slow
 def test_hbm_streamed_tables_parity(scenes_dir, monkeypatch):
     """The HBM-streamed sublane variant (cluster tables in one stacked HBM
     array, visited clusters DMA'd per visit) must match the VMEM-resident

@@ -74,6 +74,7 @@ def test_random_scene_parity(seed):
 
 
 @pytest.mark.parametrize("seed", [5, 6])
+@pytest.mark.slow
 def test_random_scene_grads_finite(seed):
     """Random scenes (incl. degenerate-ish geometry) must never produce
     non-finite parameter gradients."""
@@ -114,6 +115,7 @@ def test_random_scene_fused_matches_composable(seed):
 
 
 @pytest.mark.parametrize("seed", [11, 12, 13])
+@pytest.mark.slow
 def test_random_scene_replay_grads_match_composable(seed):
     """jax.grad through the fused render (topology-replay backward where
     replay_supported) matches the composable pipeline's gradients on

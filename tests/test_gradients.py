@@ -83,6 +83,7 @@ def test_vertex_grad(tri_soa):
     fd_check(tri_soa, _target_for(tri_soa, 1), "tri_p1", (0, 0), 1, 2e-2, 1e-1)
 
 
+@pytest.mark.slow
 def test_sphere_grads(sp_soa):
     t = _target_for(sp_soa, 1)
     fd_check(sp_soa, t, "sp_center", (0, 1), 1, 2e-2, 1e-1)
@@ -103,6 +104,7 @@ def test_phong_exponent_grad_finite(sp_soa):
     assert np.isfinite(np.asarray(grads["mat_phong"])).all()
 
 
+@pytest.mark.slow
 def test_tangent_sphere_grad_finite(sp_soa):
     """Regression: bounce rays originating on a sphere surface produce
     discriminant == 0 lanes; sqrt'(0) = inf poisoned the backward pass
@@ -122,6 +124,7 @@ def test_tangent_sphere_grad_finite(sp_soa):
 
 
 @pytest.mark.parametrize("scene_name", ["mirror.json", "bunny_small.json"])
+@pytest.mark.slow
 def test_fd_baseline_scenes(scenes_dir, scene_name):
     """BASELINE.md names mirror.json and bunny_small.json as the
     finite-difference gate workloads: central differences vs autodiff for

@@ -25,6 +25,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_render_matches_single(tmp_path):
     port = _free_port()
     out = tmp_path / "multi.npy"

@@ -53,6 +53,7 @@ def test_sharded_render_mesh_scene(scenes_dir):
         assert _identical(a, b)
 
 
+@pytest.mark.slow
 def test_distributed_fit_recovers_materials(sp_soa):
     """End-to-end distributed inverse rendering on a 4x2 mesh: corrupt all
     material colors, recover them from the target image (grad psum over
@@ -72,6 +73,7 @@ def test_distributed_fit_recovers_materials(sp_soa):
     )
 
 
+@pytest.mark.slow
 def test_dryrun_entrypoints():
     """The driver's dryrun contract (__graft_entry__.py)."""
     import __graft_entry__ as g
@@ -105,6 +107,7 @@ def test_sharded_render_with_accel(scenes_dir):
             assert ok.all(), f"({tiles},{prims})/{name}"
 
 
+@pytest.mark.slow
 def test_distributed_fit_with_accel(scenes_dir):
     """VERDICT.md item 4: fit() with acceleration on a prim-sharded mesh —
     vertex gradients flow through the per-shard culled cast."""
@@ -124,6 +127,7 @@ def test_distributed_fit_with_accel(scenes_dir):
     assert losses[-1] < losses[0] * 0.05, f"fit did not converge: {losses}"
 
 
+@pytest.mark.slow
 def test_sharded_render_fused_kernel(scenes_dir):
     """A fused-kind PreparedScene on a tiles-only mesh runs the fused
     whole-pipeline kernel per shard (block-coherent pixel order + inverse
@@ -149,6 +153,7 @@ def test_sharded_render_fused_kernel(scenes_dir):
         assert off.sum() == 0, f"{name}: {off.sum()} mismatches off edges"
 
 
+@pytest.mark.slow
 def test_distributed_fit_fused_forward(scenes_dir):
     """fit() with a fused-kind accel on a tiles-only mesh: the forward
     pass runs the fused kernel, the custom_vjp backward differentiates

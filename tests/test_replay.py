@@ -59,6 +59,7 @@ def test_replay_matches_kernel_forward(scenes_dir, name, bounces):
     ("mirror", 2),
     ("sphere_plane", 2),
 ])
+@pytest.mark.slow
 def test_replay_backward_matches_composable(scenes_dir, name, bounces):
     """jax.grad through the fused render (replay backward) == jax.grad of
     the composable pipeline, for every differentiable parameter group."""
@@ -93,6 +94,7 @@ def test_replay_backward_matches_composable(scenes_dir, name, bounces):
         assert err < 2e-4, f"{name}/{k}: rel err {err:.3e}"
 
 
+@pytest.mark.slow
 def test_replay_fallback_out_of_scope(scenes_dir, monkeypatch):
     """sphere_plane at bounces=5 needs 441 topo rows: within the row cap
     at training ray counts, but past the code-buffer HBM budget at 1080p.
@@ -121,6 +123,7 @@ def test_replay_fallback_out_of_scope(scenes_dir, monkeypatch):
     assert float(jnp.abs(g["sp_center"]).sum()) > 0.0
 
 
+@pytest.mark.slow
 def test_replay_depth_normal_cotangents(scenes_dir):
     """Gradients through the depth and normal outputs (primary cast) flow
     through the replay backward too."""
@@ -153,6 +156,7 @@ def test_replay_depth_normal_cotangents(scenes_dir):
         assert np.abs(a - b).max() / scale < 2e-4, k
 
 
+@pytest.mark.slow
 def test_replay_sublane_kernel(scenes_dir):
     """Big-scene (sublane-kernel) topology emission: packed occlusion-flag
     columns unpack to the standard replay layout, and gradients match the
