@@ -115,6 +115,16 @@ _VMEM_TABLE_SLOTS = 262144
 # cluster AABBs for the in-kernel secondary-cast cull: (8, M) rows
 # [bmin x y z, bmax x y z, 0, 0]
 _AABB_ROWS = 8
+_SUPER_FAR = 1.0e8  # empty-cluster sentinel (matches ops/bvh._FAR)
+# Transparent-scene topology emission in the sublane kernel statically
+# unrolls nodes x (1 + lights x shadow_steps) cast bodies (see
+# _make_kernel's topo_static): cap the program size it may reach.
+_SUBLANE_TOPO_MAX_CASTS = 128
+# Above this cluster count the sublane kernel's secondary culls go
+# hierarchical: exact slab over the ceil(M/32) supercluster (word) AABBs
+# + O(M) conservative interval refine per cluster, instead of the exact
+# (tile_r, M) per-cluster slab whose vector volume dominates big-M casts.
+_SUPER_MIN_M = 256
 
 
 def _n_wave_nodes(bounces, any_refl, any_transp):
@@ -190,6 +200,26 @@ def _tables(soa, accel, o0):
     aabb = aabb.at[0:3].set((clusters.bmin - o0).T)
     aabb = aabb.at[3:6].set((clusters.bmax - o0).T)
 
+    # Supercluster (per-32-cluster-word) AABBs for the big-M hierarchical
+    # cull (third hierarchy level): clusters are median-split leaves in
+    # tree order, so 32 consecutive clusters are a compact subtree and
+    # their merged AABB is tight. Empty clusters sit at the +FAR sentinel
+    # and merge harmlessly (the word then never survives unless a live
+    # cluster does... sentinel boxes are points at +FAR, never hit).
+    g = -(-m // 32)
+    pad = g * 32 - m
+    bmn = jnp.concatenate(
+        [clusters.bmin - o0,
+         jnp.full((pad, 3), _SUPER_FAR, jnp.float32)]) if pad else (
+        clusters.bmin - o0)
+    bmx = jnp.concatenate(
+        [clusters.bmax - o0,
+         jnp.full((pad, 3), _SUPER_FAR, jnp.float32)]) if pad else (
+        clusters.bmax - o0)
+    aabb2 = jnp.zeros((_AABB_ROWS, g), jnp.float32)
+    aabb2 = aabb2.at[0:3].set(jnp.min(bmn.reshape(g, 32, 3), axis=1).T)
+    aabb2 = aabb2.at[3:6].set(jnp.max(bmx.reshape(g, 32, 3), axis=1).T)
+
     def kind_rows(n, normal, col_k, mats, obj, valid, is_sphere, center,
                   extra, code_base):
         rows = jnp.zeros((_PS_ROWS, n), jnp.float32)
@@ -235,7 +265,7 @@ def _tables(soa, accel, o0):
         spc, spr * spr,
         float(n_tri_slots + soa.pl_point.shape[0]),
     )
-    return t, aabb, plane, sphere
+    return t, aabb, aabb2, plane, sphere
 
 
 def _light_table(soa, o0):
@@ -264,7 +294,12 @@ def _prefetch_primary_ok(n_tiles: int, m: int) -> bool:
     """Whether the primary-cast cull can use prefetched SMEM mask words:
     the (n_tiles * ceil(M/32)) int32 prefetch operand must leave room in
     the chip's ~1 MiB SMEM. Past that the root cast culls in-kernel like
-    the secondaries (sound; slightly looser for incoherent tiles)."""
+    the secondaries (sound; slightly looser for incoherent tiles).
+    CUTRACE_PREFETCH_PRIMARY=0 forces the in-kernel path (experiments)."""
+    import os
+
+    if os.environ.get("CUTRACE_PREFETCH_PRIMARY") == "0":
+        return False
     return n_tiles * (-(-m // 32)) * 4 <= 512 * 1024
 
 
@@ -296,23 +331,59 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
     ops/replay.py row layout."""
     n_words = -(-m // 32)  # packed cull-mask words per tile
     opaque = not any_transp
-    assert not (emit_topo and not opaque), \
-        "sublane emit_topo supports opaque scenes only (replay_supported)"
+    # Topology emission in the sublane layout comes in two flavors:
+    #   * opaque: 2 static out columns per node (winner code + per-light
+    #     occlusion flags bit-packed by a doubling scalar carry) — light
+    #     loop stays a dynamic fori.
+    #   * transparent (topo_static): per-STEP occluder codes can't be
+    #     bit-packed (24-bit values) and Mosaic cannot dynamically index
+    #     the lane (column) dimension, so the light AND march loops unroll
+    #     statically and each step writes its code to its own static
+    #     column (one column per ops/replay.py topo row). Compile cost is
+    #     nodes x (1 + lights x steps) cast bodies — replay_supported
+    #     gates this on _SUBLANE_TOPO_MAX_CASTS.
+    topo_static = emit_topo and not opaque
     attrs_full = _TRI_ATTRS + ((("order", _A_CODE),) if emit_topo else ())
-    attrs_shadow = _TRI_ATTRS_SHADOW
+    attrs_shadow = _TRI_ATTRS_SHADOW + (
+        (("order", _A_CODE),) if topo_static else ())
+    if emit_topo:
+        from cutrace_tpu.ops.replay import topo_layout
+
+        _, _topo_nodes = topo_layout(bounces, any_refl, any_transp,
+                                     n_lights, shadow_steps)
+    # cost-attribution ablation knobs (see _make_kernel_lanes): wrong
+    # output, exact timing; never set in production
+    import os as _os_ab
+
+    ablate = set(filter(None, _os_ab.environ.get(
+        "CUTRACE_ABLATE", "").split(",")))
+
+    # Hierarchical secondary cull (third hierarchy level): the exact
+    # per-word supercluster slab AUGMENTS the interval per-cluster cull in
+    # the M > _EXACT_CULL_MAX_M regime. It must never REPLACE the exact
+    # per-cluster cull: measured on the 256k bunny (M=2048) at 960x540
+    # b5, swapping exact-per-cluster for word-exact+interval blew the
+    # frame 2.33 s -> 12.2 s — the interval refine is ~5x looser within a
+    # surviving word and visit math dominates the cull math it saved.
+    use_super = m > max(
+        int(_os_ab.environ.get("CUTRACE_SUPER_MIN_M", _SUPER_MIN_M)),
+        _EXACT_CULL_MAX_M if _os_ab.environ.get(
+            "CUTRACE_SUPER_MIN_M") is None else 0,
+    )
 
     def kernel(hits_ref, rays_ref, *rest):
         if hbm_tables:
             tab_hbm, rest = rest[0], rest[1:]
             tabs = None
-            (aabb_ref, plane_ref, sphere_ref, lights_ref, scal_ref,
-             out_ref, bt_s, bk_s, at_s, mst_s, tree_s, bits_s,
+            (aabb_ref, aabb2_ref, plane_ref, sphere_ref, lights_ref,
+             scal_ref, out_ref, bt_s, bk_s, at_s, mst_s, tree_s, bits_s,
              tvm_s, dma_sem) = rest
         else:
             n_tab = len(_TABLE_NAMES)
             tabs = dict(zip(_TABLE_NAMES, rest[:n_tab]))
-            (aabb_ref, plane_ref, sphere_ref, lights_ref, scal_ref,
-             out_ref, bt_s, bk_s, at_s, mst_s, tree_s, bits_s) = rest[n_tab:]
+            (aabb_ref, aabb2_ref, plane_ref, sphere_ref, lights_ref,
+             scal_ref, out_ref, bt_s, bk_s, at_s, mst_s, tree_s,
+             bits_s) = rest[n_tab:]
 
         node_counter = [0]  # DF node index (matches replay.topo_layout)
 
@@ -448,7 +519,9 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 undecided = pocc < 0.5
                 alive = undecided if alive is None else (alive & undecided)
 
-            if secondary_cull and not primary:
+            skip_cull = (("nocullo" in ablate and occl)
+                         or ("nocull2" in ablate and not occl))
+            if secondary_cull and not primary and not skip_cull:
                 # In-kernel secondary-cast cull, packed into ceil(M/32)
                 # int32 SMEM words (2 vector->scalar syncs per word; an
                 # unpacked per-cluster any() would stall the scalar core
@@ -460,36 +533,42 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 bmxy = aabb_ref[4:5, :]
                 bmxz = aabb_ref[5:6, :]
 
-                if m <= _EXACT_CULL_MAX_M:
-                    # exact per-ray slab test: (tile_r, M) work, tightest
-                    # possible mask
-                    def axis_minmax(bmn, bmx, o1, d1):
-                        innv = 1.0 / d1  # +-inf on zero components
-                        t1 = (bmn - o1) * innv  # (tile_r, M)
-                        t2 = (bmx - o1) * innv
-                        lo = jnp.minimum(t1, t2)
-                        hi = jnp.maximum(t1, t2)
-                        lo = jnp.where(jnp.isnan(lo), 0.0, lo)
-                        hi = jnp.where(jnp.isnan(hi), inf, hi)
-                        return lo, hi
+                def axis_minmax(bmn, bmx, o1, d1):
+                    innv = 1.0 / d1  # +-inf on zero components
+                    t1 = (bmn - o1) * innv  # (tile_r, M | G)
+                    t2 = (bmx - o1) * innv
+                    lo = jnp.minimum(t1, t2)
+                    hi = jnp.maximum(t1, t2)
+                    lo = jnp.where(jnp.isnan(lo), 0.0, lo)
+                    hi = jnp.where(jnp.isnan(hi), inf, hi)
+                    return lo, hi
 
-                    lx, hx = axis_minmax(bmnx, bmxx, cox, cdx)
-                    ly, hy = axis_minmax(bmny, bmxy, coy, cdy)
-                    lz, hz = axis_minmax(bmnz, bmxz, coz, cdz)
+                def exact_anyray(ref, n_boxes):
+                    """Exact per-ray slab over `ref`'s boxes, reduced to
+                    the (1, n_boxes) any-alive-ray-touches mask (with the
+                    cast's ldist / t_bound / alive refinements)."""
+                    lx, hx = axis_minmax(ref[0:1, :], ref[3:4, :], cox, cdx)
+                    ly, hy = axis_minmax(ref[1:2, :], ref[4:5, :], coy, cdy)
+                    lz, hz = axis_minmax(ref[2:3, :], ref[5:6, :], coz, cdz)
                     tmn = jnp.maximum(jnp.maximum(lx, ly),
                                       jnp.maximum(lz, 0.0))
                     tmx = jnp.minimum(jnp.minimum(hx, hy), hz)
                     cond = tmn <= tmx
                     if occl:
-                        # clusters entirely beyond the light can't occlude
+                        # boxes entirely beyond the light can't occlude
                         cond &= tmn < ldist
                     if t_bound is not None:
                         cond &= tmn <= t_bound  # (tile_r, 1) broadcast
                     if alive is not None:
-                        cond &= alive  # (tile_r, 1) over (tile_r, M)
-                    anyhit = jnp.max(
+                        cond &= alive  # (tile_r, 1) broadcast
+                    return jnp.max(
                         jnp.where(cond, 1.0, 0.0), axis=0, keepdims=True
-                    )  # (1, M)
+                    )  # (1, n_boxes)
+
+                if m <= _EXACT_CULL_MAX_M:
+                    # exact per-ray slab test: (tile_r, M) work, tightest
+                    # possible mask
+                    anyhit = exact_anyray(aabb_ref, m)
                 else:
                     # conservative interval slab: O(M) per cast instead of
                     # O(tile_r * M) — the tile's rays collapse to per-axis
@@ -561,6 +640,19 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                         # sound upper bound over alive rays of best
                         # plane/sphere t (dead rays excluded by rmax)
                         cond &= tmn_lb <= rmax(t_bound)
+                    if use_super:
+                        # third hierarchy level: EXACT per-ray slab over
+                        # the ceil(M/32) supercluster (word) AABBs — (32x
+                        # less vector volume than per-cluster exactness)
+                        # contains the interval refine's looseness to the
+                        # words whose merged box some alive ray really
+                        # touches. Sound: a cluster hit implies its word's
+                        # merged box is hit, so word-exact AND cluster-
+                        # interval is a superset of the exact mask.
+                        g = aabb2_ref.shape[1]
+                        wany = exact_anyray(aabb2_ref, g)  # (1, G)
+                        exp = pltpu.repeat(wany, 32, axis=1)  # (1, 32G)
+                        cond &= exp[:, :m] > 0.0
                     anyhit = jnp.where(cond, 1.0, 0.0)
 
                 # pack the M-bit mask into int32 words: one integer
@@ -653,7 +745,14 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     bt_s[:] = jnp.where(better, tmin, best_t)
                     bk_s[:] = jnp.where(better, kmin, best_k)
 
-            if primary or secondary_cull:
+            skip_visit = (
+                ("novisit2" in ablate and not primary)
+                or ("novisito" in ablate and occl)
+                or ("novisitn" in ablate and not primary and not occl)
+            )
+            if skip_visit:
+                pass
+            elif primary or secondary_cull:
                 # Word-skip loop: whole 32-cluster words with an empty
                 # mask are skipped in ONE scalar branch (cull masks are
                 # spatially sparse — a flat per-cluster loop pays branch
@@ -700,7 +799,9 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 oneh = ((t == tmin) & (key == kmin)).astype(jnp.float32)
                 pairs = [(j, j) for j in
                          (range(15) if full else (_A_OBJ, _A_TRANSP))]
-                if emit_topo and full:
+                if emit_topo and (full or topo_static):
+                    # march casts need the occluder CODE too in the
+                    # transparent (topo_static) mode
                     pairs.append((_ROW_CODE, _A_CODE))
                 for src_j, j in pairs:
                     val = jnp.sum(oneh * tab_ref[src_j:src_j + 1, :],
@@ -735,11 +836,14 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
 
             return ndx, ndy, ndz
 
-        def shade(o3, d3, nd3, level_first, topo_col=None):
+        def shade(o3, d3, nd3, level_first, topo_col=None,
+                  topo_shadow_col=None):
             """Phong + shadows for the current winner in bt_s/at_s
             (shading.hpp:64-99). Returns (rgb3, spawn info...). `topo_col`
             (static): out column accumulating packed occlusion-flag bits
-            (opaque emit_topo only)."""
+            (opaque emit_topo only). `topo_shadow_col` (static,
+            topo_static only): first out column of this node's per-step
+            march occluder codes — forces the Python-unrolled loops."""
             cox, coy, coz = o3
             cdx, cdy, cdz = d3
             ndx, ndy, ndz = nd3
@@ -837,14 +941,17 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
 
                 # shadow march (shading.hpp:22-45)
                 if opaque:
-                    # every occluder contributes full opacity, so ONE
-                    # any-hit occlusion query decides the march
-                    cast(px, py, pz, sdx, sdy, sdz,
-                         jnp.zeros((tile_r, 1), jnp.float32) + 1e-3,
-                         full=False, primary=False, ldist=light_dist,
-                         alive=hit)
-                    occ = hit & (bt_s[:] > 0.0)
-                    sh = jnp.where(occ, 1.0, 0.0)
+                    if "noocc" in ablate:
+                        sh = jnp.zeros((tile_r, 1), jnp.float32)
+                    else:
+                        # every occluder contributes full opacity, so ONE
+                        # any-hit occlusion query decides the march
+                        cast(px, py, pz, sdx, sdy, sdz,
+                             jnp.zeros((tile_r, 1), jnp.float32) + 1e-3,
+                             full=False, primary=False, ldist=light_dist,
+                             alive=hit)
+                        occ = hit & (bt_s[:] > 0.0)
+                        sh = jnp.where(occ, 1.0, 0.0)
                     if topo_col is not None:
                         out_ref[:, topo_col:topo_col + 1] += sh * pw
                 else:
@@ -862,6 +969,12 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                         act = mst_s[:, 2:3] > 0.5
                         cast(px, py, pz, sdx, sdy, sdz, last + 1e-3,
                              full=False, primary=False, alive=act)
+                        if topo_shadow_col is not None:
+                            # static li AND si (Python-unrolled loops):
+                            # this step's occluder code in its own column
+                            c = topo_shadow_col + li * shadow_steps + si
+                            out_ref[:, c:c + 1] = (
+                                at_s[:, _A_CODE:_A_CODE + 1])
                         st = bt_s[:]
                         stransp = at_s[:, _A_TRANSP:_A_TRANSP + 1]
                         okm = act & jnp.isfinite(st) & (st < light_dist)
@@ -873,7 +986,11 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                         )
                         return 0
 
-                    jax.lax.fori_loop(0, shadow_steps, step_body, 0)
+                    if topo_shadow_col is not None:
+                        for si in range(shadow_steps):
+                            step_body(si, 0)
+                    else:
+                        jax.lax.fori_loop(0, shadow_steps, step_body, 0)
                     sh = mst_s[:, 0:1]
                     sh = jnp.where(sh >= 1.0, 1.0, sh)
                 lit = sh < 1.0
@@ -920,7 +1037,12 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 mst_s[:, 3:4] = accr
                 mst_s[:, 4:5] = accg
                 mst_s[:, 5:6] = accb
-                jax.lax.fori_loop(0, n_lights, light_body, 0)
+                if topo_shadow_col is not None:
+                    # topo_static: static light indices (Python unroll)
+                    for li in range(n_lights):
+                        light_body(li, 0)
+                else:
+                    jax.lax.fori_loop(0, n_lights, light_body, 0)
                 accr = mst_s[:, 3:4]
                 accg = mst_s[:, 4:5]
                 accb = mst_s[:, 5:6]
@@ -947,10 +1069,17 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 nd3 = cast(*o3, *d3, mind, full=True,
                            primary=(root and prefetch_primary),
                            alive=None if root else (w > 0.0))
-                tc = None
-                if emit_topo:
-                    # winner code + zeroed flag column for this node
-                    # (static lane indices; see the docstring)
+                tc = tsc = None
+                if emit_topo and topo_static:
+                    # transparent layout: one out column per replay topo
+                    # row, DF order identical to topo_layout (lanes parity)
+                    _, cast_row, shadow_base = _topo_nodes[k_node]
+                    out_ref[:, 8 + cast_row:9 + cast_row] = (
+                        at_s[:, _A_CODE:_A_CODE + 1])
+                    tsc = 8 + shadow_base
+                elif emit_topo:
+                    # opaque layout: winner code + zeroed packed-flag
+                    # column for this node (static lane indices)
                     c0 = 8 + 2 * k_node
                     out_ref[:, c0:c0 + 1] = at_s[:, _A_CODE:_A_CODE + 1]
                     out_ref[:, c0 + 1:c0 + 2] = jnp.zeros(
@@ -959,7 +1088,8 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     tc = c0 + 1
                 ph, hit, t_safe, nn3, at = shade(o3, d3, nd3,
                                                  level_first=root,
-                                                 topo_col=tc)
+                                                 topo_col=tc,
+                                                 topo_shadow_col=tsc)
                 if level == bounces or not (any_refl or any_transp):
                     tree_s[:, 0:1] += w * ph[0]
                     tree_s[:, 1:2] += w * ph[1]
@@ -1445,24 +1575,29 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                         visit()
 
             if defer:
-                # Post-loop winner-attribute pass: one pass per cluster
-                # CONTAINING a winner (word = packed one-hot of mst_s row
-                # 6 values). `order` is globally unique, so the key match
-                # selects exactly the winning slot; `mine` guards no-hit
-                # rays (key _BIGF == padding-slot order 2^30).
+                # Post-loop winner-attribute pass over the clusters of the
+                # cast's OWN cull word (hits_ref for primaries, bits_s for
+                # secondaries): a fresh winner-only word would be ~1.4x
+                # tighter but costs another vector->scalar pack — and at
+                # the ~1-2-visit unions the t-bound culls produce, the
+                # ~1 us pipeline drain of a pack outweighs a masked-out
+                # attr body (measured round 3; the drain is also why the
+                # kernel packs ONE word per cast, never per cluster).
+                # `order` is globally unique, so the key match selects
+                # exactly the winning slot; `mine` guards no-hit rays
+                # (key _BIGF == padding-slot order 2^30) and clusters
+                # that hold no winner.
                 if emit_topo:
                     at_s[_A_CODE:_A_CODE + 1, :] = jnp.where(
                         jnp.isfinite(bt_s[:]), bk_s[:], -1.0
                     )
-                lane = jax.lax.broadcasted_iota(
-                    jnp.int32, (m, 1), 0).astype(jnp.float32)
-                win = jnp.max(
-                    jnp.where(mst_s[6:7, :] == lane, 1.0, 0.0),
-                    axis=1, keepdims=True,
-                )
-                pack_cull(win)
                 for mi in range(m):
-                    @pl.when(((bits_s[0] >> mi) & 1) != 0)
+                    word = (hits_ref[i * n_words + mi // 32]
+                            if (primary and not any(
+                                0 < p < m for p in refresh_at))
+                            else bits_s[0])
+                    @pl.when(((word >> (mi % 32 if primary else mi)) & 1)
+                             != 0)
                     def _(mi=mi):
                         col = lambda name: tabs[name][:, mi:mi + 1]
                         oneh = (col("order") == bk_s[:]).astype(
@@ -1826,12 +1961,14 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                      "has_planes", "has_spheres", "node_skip", "emit_topo",
                      "defer_attrs", "refresh_at"),
 )
-def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
+def _run_fused(tables, aabb, aabb2, plane, sphere, lights, rays, hits,
+               scalars,
                bounces, shadow_steps, any_refl, any_transp, n_lights,
                interpret, tile_r=TILE_R, secondary_cull=True,
                has_planes=True, has_spheres=True, node_skip=True,
                emit_topo=False, defer_attrs=True, refresh_at=None):
     m, c = tables["k"].shape
+    g = aabb2.shape[1]
     n_pl = plane.shape[1]
     n_sp = sphere.shape[1]
     r_pad = rays.shape[0]
@@ -1909,10 +2046,15 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
           aabb.T, plane.T, sphere.T, lights, scalars)
         return out.T
 
-    # Sublane layout: topo on STATIC lane indices — 2 columns per node
-    # (winner code + packed per-light occlusion flag bits); opaque-only
-    # (enforced in _make_kernel; replay_supported gates callers).
-    cols_out = 8 + 2 * n_nodes if emit_topo else 8
+    # Sublane layout: topo on STATIC lane indices — opaque: 2 columns per
+    # node (winner code + packed per-light occlusion flag bits, dynamic
+    # light fori); transparent: one column per replay topo row (static-
+    # unrolled light/march loops — replay_supported gates the compile-cost
+    # budget via _SUBLANE_TOPO_MAX_CASTS).
+    if emit_topo:
+        cols_out = 8 + (k_rows if any_transp else 2 * n_nodes)
+    else:
+        cols_out = 8
     hbm = m * c > _VMEM_TABLE_SLOTS
     prefetch_primary = _prefetch_primary_ok(n_tiles, m)
     kernel = _make_kernel(
@@ -1957,8 +2099,8 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
         in_specs=[pl.BlockSpec((tile_r, 8), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM)]
         + tab_in
-        + [const((_AABB_ROWS, m)), const((_PS_ROWS, n_pl)),
-           const((_PS_ROWS, n_sp)),
+        + [const((_AABB_ROWS, m)), const((_AABB_ROWS, g)),
+           const((_PS_ROWS, n_pl)), const((_PS_ROWS, n_sp)),
            smem((max(1, n_lights), 8)), smem((1, 4))],
         out_specs=pl.BlockSpec((tile_r, cols_out), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -1971,7 +2113,7 @@ def _run_fused(tables, aabb, plane, sphere, lights, rays, hits, scalars,
         interpret=interpret,
         compiler_params=params,
     )(hits, rays, *tab_ops,
-      aabb, plane, sphere, lights, scalars)
+      aabb, aabb2, plane, sphere, lights, scalars)
     return out
 
 
@@ -2032,7 +2174,7 @@ def _fused_forward(soa, accel, o, d, fudge, bounces, emit_topo=False):
 
     sg = jax.lax.stop_gradient
     o0 = sg(soa.scene_center)
-    tables, aabb, plane, sphere = _tables(soa, accel, o0)
+    tables, aabb, aabb2, plane, sphere = _tables(soa, accel, o0)
     lights = _light_table(soa, o0)
     m = tables["k"].shape[0]
 
@@ -2138,7 +2280,7 @@ def _fused_forward(soa, accel, o, d, fudge, bounces, emit_topo=False):
     refresh_at = (None if ra_env is None else
                   tuple(int(x) for x in ra_env.split(",") if x))
     out = _run_fused(
-        tables, aabb, plane, sphere, lights, rays, hits, scalars,
+        tables, aabb, aabb2, plane, sphere, lights, rays, hits, scalars,
         bounces=bounces, shadow_steps=soa.shadow_steps,
         any_refl=soa.any_reflective, any_transp=soa.any_transparent,
         n_lights=soa.n_lights, interpret=accel.interpret,
@@ -2148,10 +2290,12 @@ def _fused_forward(soa, accel, o, d, fudge, bounces, emit_topo=False):
         defer_attrs=defer_attrs, refresh_at=refresh_at,
     )[:r]
     if emit_topo:
-        if m <= _LANES_MAX_M and tile_r % 128 == 0:
-            raw = out[:, 8:]  # lanes kernel: already the replay row layout
+        if (m <= _LANES_MAX_M and tile_r % 128 == 0) or soa.any_transparent:
+            # lanes kernel — and the sublane transparent (topo_static)
+            # mode — already emit the replay row layout directly
+            raw = out[:, 8:]
         else:
-            # sublane kernel: (code, packed occlusion flags) column pairs
+            # sublane opaque: (code, packed occlusion flags) column pairs
             # — unpack the flag bits into per-light rows (opaque scenes:
             # per_light == 1, so the replay layout is nodes x (1 + L))
             from cutrace_tpu.ops.replay import topo_layout
@@ -2211,11 +2355,17 @@ def replay_supported(soa, accel, bounces: int, n_rays: int = 0) -> bool:
     m = accel.order.shape[0]
     lanes = m <= _LANES_MAX_M and TILE_R % 128 == 0
     if not lanes and soa.any_transparent:
-        # the sublane kernel packs occlusion flags into static columns
-        # (Mosaic cannot dynamically index lanes); per-step march codes
-        # don't fit that scheme, so transparent big scenes keep the
-        # composable backward
-        return False
+        # Transparent sublane emission (topo_static in _make_kernel)
+        # needs the light AND march loops statically unrolled (per-step
+        # occluder CODES can't bit-pack into one column like opaque
+        # flags, and Mosaic cannot dynamically index the lane/column
+        # dimension), so program size grows with nodes x (1 + L x S)
+        # cast bodies. Beyond this budget compile time explodes and the
+        # composable backward is the better trade.
+        nodes = _n_wave_nodes(bounces, soa.any_reflective, True)
+        if nodes * (1 + soa.n_lights * soa.shadow_steps) > \
+                _SUBLANE_TOPO_MAX_CASTS:
+            return False
     rows = replay_rows(soa, bounces)
     if rows > REPLAY_MAX_ROWS:
         return False

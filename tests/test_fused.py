@@ -263,3 +263,32 @@ def test_hbm_streamed_tables_parity(scenes_dir, monkeypatch):
     monkeypatch.setattr(F, "_prefetch_primary_ok", lambda n_tiles, m: False)
     c4, _, _ = F._fused_forward(soa, accel, o, d, 1e-3, b)
     assert float(jnp.abs(c4 - c1).max()) == 0.0
+
+
+def test_fused_supercluster_cull_parity(scenes_dir, monkeypatch):
+    """The hierarchical secondary cull (exact per-WORD supercluster slab +
+    interval per-cluster refine — the big-M regime, forced small here via
+    CUTRACE_SUPER_MIN_M) must match the composable renderer exactly: both
+    cull flavors are supersets of the exact visit set, so output is
+    invariant. bounces=2 exercises nearest AND occlusion secondary casts
+    through the supercluster path."""
+    import jax as _jax
+
+    from cutrace_tpu.render.renderer import PreparedScene
+
+    monkeypatch.setenv("CUTRACE_SUPER_MIN_M", "8")
+    # the env is read at kernel BUILD (trace) time: drop cached traces so
+    # this test (and later ones) compile with their own env
+    _jax.clear_caches()
+    monkeypatch.setattr(
+        "cutrace_tpu.ops.fused._EXACT_CULL_MAX_M", 16)
+    try:
+        soa = _load(scenes_dir, "bunny.json", 32, 18)
+        accel = bvh.build_accel(soa, 8, kind="fused", interpret=True)
+        m = accel.order.shape[0]
+        assert m > 8, f"want the supercluster regime, got M={m}"
+        base = render(prepare(soa, accel="none"), bounces=2)
+        out = render(PreparedScene(soa=soa, accel=accel), bounces=2)
+        _compare(base, out, atol=2e-4)
+    finally:
+        _jax.clear_caches()

@@ -207,18 +207,59 @@ def test_replay_sublane_kernel(scenes_dir):
         assert np.abs(a - bb).max() / scale < 2e-4, k
 
 
-def test_replay_sublane_transparent_falls_back(scenes_dir):
-    """Transparent scenes on the sublane kernel can't emit march codes
-    (packed columns hold only occlusion bits) — replay must decline."""
+@pytest.mark.slow
+def test_replay_sublane_transparent(scenes_dir):
+    """Transparent scenes on the sublane kernel emit per-step march
+    occluder CODES via statically-unrolled light/march loops (one out
+    column per replay topo row — fused.py topo_static): forward replay
+    must reproduce the kernel and jax.grad must match the composable
+    pipeline, including the differentiable march transparency chain
+    (shading.hpp:22-45). Beyond the static-unroll budget it falls back."""
     from cutrace_tpu.ops import bvh
+    from cutrace_tpu.ops.fused import _LANES_MAX_M
+    from cutrace_tpu.ops.replay import replay_render_rays
     from cutrace_tpu.scene.soa import scene_to_soa
 
     sc = load_scene(scenes_dir / "sphere_plane.json")
     sc.camera.width, sc.camera.height = 16, 8
     soa = scene_to_soa(sc)
-    # no triangles: order shape (1, C); fake a big partition via min_clusters
+    # no triangles: order shape (1, C); fake a big partition via
+    # min_clusters to force the sublane kernel
     accel = bvh.build_accel(soa, cluster_size=8, kind="fused",
                             min_clusters=64)
-    from cutrace_tpu.ops.fused import _LANES_MAX_M
     assert accel.order.shape[0] > _LANES_MAX_M
-    assert not replay_supported(soa, accel, 2)
+    b = 2  # 7 nodes x (1 + 2 lights x 3 steps) = 49 cast bodies: in budget
+    assert replay_supported(soa, accel, b)
+    # 63 nodes x 7 = 441 cast bodies: over _SUBLANE_TOPO_MAX_CASTS
+    assert not replay_supported(soa, accel, 5)
+
+    idx = jnp.arange(soa.width * soa.height, dtype=jnp.int32)
+    o, d = camera_rays(soa, idx % soa.width, idx // soa.width)
+    c, dep, nrm, codes = _fused_forward(soa, accel, o, d, 1e-3, b,
+                                        emit_topo=True)
+    rc, _, _ = replay_render_rays(soa, o, d, codes, jnp.float32(1e-3), b)
+    assert float(jnp.abs(rc - c).max()) < 1e-5
+
+    params = extract_params(soa)
+    tgt = jax.lax.stop_gradient(c) * 0.9
+    w = soa.width
+
+    def loss_f(p):
+        s = with_params(soa, p)
+        o2, d2 = camera_rays(s, idx % w, idx // w)
+        cf, _, _ = fused_render_rays(s, accel, o2, d2, 1e-3, b)
+        return jnp.mean((cf - tgt) ** 2)
+
+    def loss_c(p):
+        s = with_params(soa, p)
+        o2, d2 = camera_rays(s, idx % w, idx // w)
+        cf, _, _ = render_rays(s, o2, d2, b, jnp.float32(1e-3),
+                               candidates_fn(accel))
+        return jnp.mean((cf - tgt) ** 2)
+
+    gf = jax.grad(loss_f)(params)
+    gc = jax.grad(loss_c)(params)
+    for k in gf:
+        a, bb = np.asarray(gf[k]), np.asarray(gc[k])
+        scale = max(np.abs(bb).max(), 1e-6)
+        assert np.abs(a - bb).max() / scale < 2e-4, k
