@@ -37,14 +37,14 @@ try:
 except Exception:
     pass
 
-# Best recorded TPU v5e measurement (round 2, fused lanes kernel +
-# alive-masked culls + t-bound culls): 143.0 Mcasts/s. The dev tunnel's
+# Best recorded TPU v5e measurement (round 3, fused lanes kernel +
+# deferred winner attributes): 147.6 Mcasts/s. The dev tunnel's
 # wall-clock weather is ~5 % (a cached binary measured 130.8-137.3
-# across one day at the previous 137.3 best), surviving even min-of-N
+# across one day at a 137.3 best), surviving even min-of-N
 # timing with the result-cache discipline. The no-regression floor is
 # the BOTTOM of that band (0.94 x best), so vs_baseline < 1.0 means a
 # real regression, not tunnel weather. Update only upward with new bests.
-BASELINE_MCASTS_PER_S = 134.0
+BASELINE_MCASTS_PER_S = 138.0
 
 WIDTH, HEIGHT, BOUNCES = 1920, 1080, 5
 

@@ -2128,12 +2128,25 @@ def _primary_t_bound(plane, sphere, o, d, fudge, has_planes, has_spheres):
     bound is consistent with it by definition."""
     inf = jnp.float32(jnp.inf)
     tb = jnp.full((o.shape[0],), inf, jnp.float32)
+
+    def dots(a, b):
+        """(R,3) x (3,N) -> (R,N) in EXACT f32 via broadcast-elementwise
+        forms: on TPU a default-precision matmul runs bf16 on the MXU,
+        and a near-parallel plane ray (denom ~ 0) then yields a garbage-
+        small t that wrongly culls every cluster behind it — 746 wrong
+        primary winners on mirror.json 96x54, caught by the round-3
+        tpu_smoke suite (interpret mode computes matmuls in f64-ish and
+        never sees it). HIGHEST-precision matmuls are exact but
+        pathological at tiny N (docs/performance.md "learned" #4); the
+        broadcast form fuses into cheap VPU code at N <= 8."""
+        return jnp.sum(a[:, None, :] * b.T[None, :, :], axis=-1)
+
     if has_planes:
         pn = plane[_A_NX:_A_NZ + 1, :]  # (3, P)
         kp = plane[_ROW_KP, :]
         pvalid = plane[_ROW_VALID, :]
-        denom = d @ pn  # (R, P)
-        on = o @ pn
+        denom = dots(d, pn)  # (R, P)
+        on = dots(o, pn)
         tp = (kp[None, :] - on) / jnp.where(denom == 0.0, 1.0, denom)
         okp = (
             (denom != 0.0) & jnp.isfinite(tp) & (tp > fudge)
@@ -2145,8 +2158,8 @@ def _primary_t_bound(plane, sphere, o, d, fudge, has_planes, has_spheres):
         sc = sphere[_A_CX:_A_CZ + 1, :]  # (3, S)
         r2 = sphere[_ROW_R2, :]
         svalid = sphere[_ROW_VALID, :]
-        dec = nd @ sc - jnp.sum(nd * o, axis=1, keepdims=True)  # (R, S)
-        oc = o @ sc
+        dec = dots(nd, sc) - jnp.sum(nd * o, axis=1, keepdims=True)  # (R,S)
+        oc = dots(o, sc)
         ec2 = (
             jnp.sum(o * o, axis=1, keepdims=True) - 2.0 * oc
             + jnp.sum(sc * sc, axis=0)[None, :]
