@@ -88,11 +88,12 @@ _TRI_ATTRS_SHADOW = (("obj", _A_OBJ), ("transp", _A_TRANSP))
 
 # plane/sphere tables are (24, N): rows 0-14 mirror the attr columns
 # (planes: is_sphere/center rows are 0; spheres: rows 11-14 = 1, cx, cy, cz),
-# row 15-… hold cast constants and the validity mask.
+# row 15-… hold cast constants, validity, topology code, material index.
 _ROW_KP = 15      # planes: dot(point - o0, normal)
 _ROW_R2 = 15      # spheres: radius^2
 _ROW_VALID = 16
 _ROW_CODE = 17    # topology code of this primitive (see _A_CODE)
+_ROW_MAT = 18     # material INDEX (sublane kernel's deferred mat lookup)
 _PS_ROWS = 24
 
 _CAST_CONSTS = (
@@ -101,13 +102,17 @@ _CAST_CONSTS = (
 )
 _SHADE_CONSTS = (
     "snx", "sny", "snz", "obj", "colr", "colg", "colb",
-    "spec", "refl", "phong", "transp",
+    "spec", "refl", "phong", "transp", "mat",
 )
 _TABLE_NAMES = _CAST_CONSTS + _SHADE_CONSTS
 # row index of each table in the HBM-stacked (M, 32, C) layout used by the
-# streamed sublane kernel (rows 29-31 padding for (8, 128) tile alignment)
+# streamed sublane kernel (rows 30-31 padding for (8, 128) tile alignment)
 _TROW = {name: i for i, name in enumerate(_TABLE_NAMES)}
 _HBM_TAB_ROWS = 32
+# material-parameter table rows ((8, n_mats) VMEM operand): the sublane
+# kernel's visits accumulate only the winner's material INDEX and params
+# are fetched once per cast by a one-hot over this table
+_MATP_ROWS = ("colr", "colg", "colb", "spec", "refl", "phong", "transp")
 # Above this many (cluster x slot) table entries (~29 tables x slots x 4B =
 # 30 MB of VMEM) the tables move to HBM and each visited cluster is DMA'd
 # into a VMEM scratch block per visit (the streamed sublane kernel).
@@ -193,6 +198,7 @@ def _tables(soa, accel, o0):
         refl=sg(soa.mat_reflect)[mat],
         phong=sg(soa.mat_phong)[mat],
         transp=sg(soa.mat_transparency)[mat],
+        mat=mat.astype(jnp.float32),
     )
 
     m = clusters.bmin.shape[0]
@@ -220,8 +226,8 @@ def _tables(soa, accel, o0):
     aabb2 = aabb2.at[0:3].set(jnp.min(bmn.reshape(g, 32, 3), axis=1).T)
     aabb2 = aabb2.at[3:6].set(jnp.max(bmx.reshape(g, 32, 3), axis=1).T)
 
-    def kind_rows(n, normal, col_k, mats, obj, valid, is_sphere, center,
-                  extra, code_base):
+    def kind_rows(n, normal, col_k, mats, mat_idx, obj, valid, is_sphere,
+                  center, extra, code_base):
         rows = jnp.zeros((_PS_ROWS, n), jnp.float32)
         rows = rows.at[_A_OBJ].set(obj.astype(jnp.float32))
         rows = rows.at[_A_NX:_A_NZ + 1].set(normal.T)
@@ -237,6 +243,7 @@ def _tables(soa, accel, o0):
         rows = rows.at[_ROW_CODE].set(
             code_base + jnp.arange(n, dtype=jnp.float32)
         )
+        rows = rows.at[_ROW_MAT].set(mat_idx.astype(jnp.float32))
         return rows
 
     def mat_params(idx):
@@ -250,8 +257,8 @@ def _tables(soa, accel, o0):
     ppt = sg(soa.pl_point) - o0
     plane = kind_rows(
         pln.shape[0], pln, sg(soa.mat_color)[soa.pl_mat],
-        mat_params(soa.pl_mat), soa.pl_obj, sg(soa.pl_valid), 0.0,
-        jnp.zeros_like(pln), jnp.sum(ppt * pln, axis=-1),
+        mat_params(soa.pl_mat), soa.pl_mat, soa.pl_obj, sg(soa.pl_valid),
+        0.0, jnp.zeros_like(pln), jnp.sum(ppt * pln, axis=-1),
         float(n_tri_slots),
     )
 
@@ -261,11 +268,21 @@ def _tables(soa, accel, o0):
     # normal rows hold zeros
     sphere = kind_rows(
         spc.shape[0], jnp.zeros_like(spc), sg(soa.mat_color)[soa.sp_mat],
-        mat_params(soa.sp_mat), soa.sp_obj, sg(soa.sp_valid), 1.0,
-        spc, spr * spr,
+        mat_params(soa.sp_mat), soa.sp_mat, soa.sp_obj, sg(soa.sp_valid),
+        1.0, spc, spr * spr,
         float(n_tri_slots + soa.pl_point.shape[0]),
     )
-    return t, aabb, aabb2, plane, sphere
+
+    # (8, n_mats) material-parameter rows in _MATP_ROWS order (sublane
+    # kernel's per-cast one-hot lookup; row 7 zero padding)
+    mc = sg(soa.mat_color)
+    mat_tab = jnp.stack([
+        mc[:, 0], mc[:, 1], mc[:, 2],
+        sg(soa.mat_specular), sg(soa.mat_reflect),
+        sg(soa.mat_phong), sg(soa.mat_transparency),
+        jnp.zeros_like(sg(soa.mat_specular)),
+    ])
+    return t, aabb, aabb2, plane, sphere, mat_tab
 
 
 def _light_table(soa, o0):
@@ -343,8 +360,17 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
     #     nodes x (1 + lights x steps) cast bodies — replay_supported
     #     gates this on _SUBLANE_TOPO_MAX_CASTS.
     topo_static = emit_topo and not opaque
-    attrs_full = _TRI_ATTRS + ((("order", _A_CODE),) if emit_topo else ())
-    attrs_shadow = _TRI_ATTRS_SHADOW + (
+    # Deferred material fetch (sublane only): visits accumulate the
+    # winner's material INDEX (one column, rides in the _A_CR slot during
+    # the loop) instead of 7 materialized parameter columns; one one-hot
+    # over the (8, n_mats) table after the merges materializes them. Cuts
+    # the dominant per-visit attr work ~2x at big M.
+    attrs_full = (
+        ("obj", _A_OBJ),
+        ("snx", _A_NX), ("sny", _A_NY), ("snz", _A_NZ),
+        ("mat", _A_CR),
+    ) + ((("order", _A_CODE),) if emit_topo else ())
+    attrs_shadow = (("obj", _A_OBJ), ("mat", _A_CR)) + (
         (("order", _A_CODE),) if topo_static else ())
     if emit_topo:
         from cutrace_tpu.ops.replay import topo_layout
@@ -375,15 +401,15 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
         if hbm_tables:
             tab_hbm, rest = rest[0], rest[1:]
             tabs = None
-            (aabb_ref, aabb2_ref, plane_ref, sphere_ref, lights_ref,
-             scal_ref, out_ref, bt_s, bk_s, at_s, mst_s, tree_s, bits_s,
-             tvm_s, dma_sem) = rest
+            (aabb_ref, aabb2_ref, mat_ref, plane_ref, sphere_ref,
+             lights_ref, scal_ref, out_ref, bt_s, bk_s, at_s, mst_s,
+             tree_s, bits_s, tvm_s, dma_sem) = rest
         else:
             n_tab = len(_TABLE_NAMES)
             tabs = dict(zip(_TABLE_NAMES, rest[:n_tab]))
-            (aabb_ref, aabb2_ref, plane_ref, sphere_ref, lights_ref,
-             scal_ref, out_ref, bt_s, bk_s, at_s, mst_s, tree_s,
-             bits_s) = rest[n_tab:]
+            (aabb_ref, aabb2_ref, mat_ref, plane_ref, sphere_ref,
+             lights_ref, scal_ref, out_ref, bt_s, bk_s, at_s, mst_s,
+             tree_s, bits_s) = rest[n_tab:]
 
         node_counter = [0]  # DF node index (matches replay.topo_layout)
 
@@ -797,8 +823,16 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     (tmin == best_t) & (kmin < best_obj)
                 )
                 oneh = ((t == tmin) & (key == kmin)).astype(jnp.float32)
-                pairs = [(j, j) for j in
-                         (range(15) if full else (_A_OBJ, _A_TRANSP))]
+                # material params are deferred (the mat INDEX rides in the
+                # _A_CR slot until the post-merge lookup); only geometry /
+                # identity rows merge here
+                if full:
+                    pairs = [(j, j) for j in
+                             (_A_OBJ, _A_NX, _A_NY, _A_NZ,
+                              _A_SPH, _A_CX, _A_CY, _A_CZ)]
+                    pairs.append((_ROW_MAT, _A_CR))
+                else:
+                    pairs = [(_A_OBJ, _A_OBJ), (_ROW_MAT, _A_CR)]
                 if emit_topo and (full or topo_static):
                     # march casts need the occluder CODE too in the
                     # transparent (topo_static) mode
@@ -833,6 +867,29 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     bt_s[:] = jnp.maximum(bt_s[:], occ)
                 else:
                     merge_kind(sphere_ref, n_sp, ts, oks)
+
+            if not occl:
+                # Deferred material-parameter fetch: the merges above left
+                # the winner's material INDEX in the _A_CR slot; ONE
+                # one-hot over the (8, n_mats) table materializes the
+                # parameter columns (exact: a single nonzero term). Rays
+                # with no hit pick material 0 — every consumer masks by
+                # `hit`, exactly as the old garbage-free zeros were masked.
+                n_mats = mat_ref.shape[1]
+                matv = at_s[:, _A_CR:_A_CR + 1]
+                onehm = (matv == jax.lax.broadcasted_iota(
+                    jnp.int32, (1, n_mats), 1).astype(jnp.float32)
+                ).astype(jnp.float32)  # (tile_r, n_mats)
+                fetch = (
+                    ((0, _A_CR), (1, _A_CG), (2, _A_CB), (3, _A_SPEC),
+                     (4, _A_REFL), (5, _A_PHONG), (6, _A_TRANSP))
+                    if full else ((6, _A_TRANSP),)
+                )
+                for row, j in fetch:
+                    at_s[:, j:j + 1] = jnp.sum(
+                        onehm * mat_ref[row:row + 1, :], axis=1,
+                        keepdims=True,
+                    )
 
             return ndx, ndy, ndz
 
@@ -1961,14 +2018,15 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                      "has_planes", "has_spheres", "node_skip", "emit_topo",
                      "defer_attrs", "refresh_at"),
 )
-def _run_fused(tables, aabb, aabb2, plane, sphere, lights, rays, hits,
-               scalars,
+def _run_fused(tables, aabb, aabb2, mat_tab, plane, sphere, lights,
+               rays, hits, scalars,
                bounces, shadow_steps, any_refl, any_transp, n_lights,
                interpret, tile_r=TILE_R, secondary_cull=True,
                has_planes=True, has_spheres=True, node_skip=True,
                emit_topo=False, defer_attrs=True, refresh_at=None):
     m, c = tables["k"].shape
     g = aabb2.shape[1]
+    n_mats = mat_tab.shape[1]
     n_pl = plane.shape[1]
     n_sp = sphere.shape[1]
     r_pad = rays.shape[0]
@@ -2100,6 +2158,7 @@ def _run_fused(tables, aabb, aabb2, plane, sphere, lights, rays, hits,
                                memory_space=pltpu.VMEM)]
         + tab_in
         + [const((_AABB_ROWS, m)), const((_AABB_ROWS, g)),
+           const((8, n_mats)),
            const((_PS_ROWS, n_pl)), const((_PS_ROWS, n_sp)),
            smem((max(1, n_lights), 8)), smem((1, 4))],
         out_specs=pl.BlockSpec((tile_r, cols_out), lambda i, s: (i, 0),
@@ -2113,7 +2172,7 @@ def _run_fused(tables, aabb, aabb2, plane, sphere, lights, rays, hits,
         interpret=interpret,
         compiler_params=params,
     )(hits, rays, *tab_ops,
-      aabb, aabb2, plane, sphere, lights, scalars)
+      aabb, aabb2, mat_tab, plane, sphere, lights, scalars)
     return out
 
 
@@ -2187,14 +2246,21 @@ def _fused_forward(soa, accel, o, d, fudge, bounces, emit_topo=False):
 
     sg = jax.lax.stop_gradient
     o0 = sg(soa.scene_center)
-    tables, aabb, aabb2, plane, sphere = _tables(soa, accel, o0)
+    tables, aabb, aabb2, plane, sphere, mat_tab = _tables(soa, accel, o0)
     lights = _light_table(soa, o0)
     m = tables["k"].shape[0]
 
     import os as _os
 
     r = o.shape[0]
-    tile_r = int(_os.environ.get("CUTRACE_TILE_R", TILE_R))
+    # Adaptive ray-tile size: 512 for lanes-range scenes (bunny 1080p b5
+    # measured flat across 512/256/128 — round 2), 128 for sublane (big)
+    # scenes, where a 512-ray tile's world footprint crosses many fine
+    # clusters and the per-tile visit UNION dominates: 256k bunny 480x270
+    # b5 measured 1.30 / 0.90 / 0.75 / 0.87 s at tile 512/256/128/64
+    # (round 3). CUTRACE_TILE_R overrides for experiments.
+    default_tile = TILE_R if m <= _LANES_MAX_M else 128
+    tile_r = int(_os.environ.get("CUTRACE_TILE_R", default_tile))
     r_pad = _ceil_to(r, tile_r)
     pad = r_pad - r
 
@@ -2293,7 +2359,8 @@ def _fused_forward(soa, accel, o, d, fudge, bounces, emit_topo=False):
     refresh_at = (None if ra_env is None else
                   tuple(int(x) for x in ra_env.split(",") if x))
     out = _run_fused(
-        tables, aabb, aabb2, plane, sphere, lights, rays, hits, scalars,
+        tables, aabb, aabb2, mat_tab, plane, sphere, lights, rays, hits,
+        scalars,
         bounces=bounces, shadow_steps=soa.shadow_steps,
         any_refl=soa.any_reflective, any_transp=soa.any_transparent,
         n_lights=soa.n_lights, interpret=accel.interpret,
