@@ -87,10 +87,16 @@ def prepare(scene_or_soa, accel: str = "auto") -> PreparedScene:
 
         from cutrace_tpu.ops.fused import _LANES_MAX_M
 
-        # C=32 measured slower (129 vs 136 Mcasts/s on bunny: per-cluster
-        # unroll overhead beats the finer cull), so 64 is the floor.
-        # CUTRACE_CLUSTER_C overrides for kernel experiments.
-        size = 128
+        # Lanes range: C=32 measured slower (129 vs 136 Mcasts/s on bunny:
+        # per-cluster unroll overhead beats the finer cull), so 64 is the
+        # floor. Sublane (big) scenes: C=256 with the kernel's 128-ray
+        # tiles measured best across 64k/256k (256k bunny 960x540 b5:
+        # 2.33 s at C=128/tile 512 -> 1.28 s at C=256/tile 128 — round 3;
+        # C=512 and tile 256 both slightly worse). CUTRACE_CLUSTER_C
+        # overrides for kernel experiments.
+        # (scenes small enough for the lanes kernel keep C = 64/128 — the
+        # statically-unrolled lanes kernel at C=256 is an untested shape)
+        size = 256
         for c in (64, 128):
             if n_tris <= _LANES_MAX_M * c:
                 size = c
