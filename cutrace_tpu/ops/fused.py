@@ -75,16 +75,10 @@ _A_CX, _A_CY, _A_CZ = 12, 13, 14
 # f32 rows are exact for codes < 2^24 (buffers are bounded far below that).
 _A_CODE = 15
 
-# cluster-table name per attribute column (cols 11-14 have no triangle
-# table: triangles are never spheres, so those stay 0 from the reset)
-_TRI_ATTRS = (
-    ("obj", _A_OBJ),
-    ("snx", _A_NX), ("sny", _A_NY), ("snz", _A_NZ),
-    ("colr", _A_CR), ("colg", _A_CG), ("colb", _A_CB),
-    ("spec", _A_SPEC), ("refl", _A_REFL), ("phong", _A_PHONG),
-    ("transp", _A_TRANSP),
-)
-_TRI_ATTRS_SHADOW = (("obj", _A_OBJ), ("transp", _A_TRANSP))
+# (Per-visit attribute accumulation is down to identity/geometry columns
+# + the material INDEX since round 3 — both kernels define their reduced
+# attr tuples locally and materialize material params once per cast via
+# the (8, n_mats) table.)
 
 # plane/sphere tables are (24, N): rows 0-14 mirror the attr columns
 # (planes: is_sphere/center rows are 0; spheres: rows 11-14 = 1, cx, cy, cz),
@@ -146,19 +140,23 @@ def fused_supported(soa, accel, bounces: int) -> bool:
     if accel is None or accel.kind != "fused":
         return False
     m, c = accel.order.shape
-    # ~29 tables * m * c * 4B: 262144 slots (256k triangles at C=128) is
-    # ~30 MB of VMEM tables — fits the 100 MB scoped budget with room for
-    # the (tile_r, C) cast temporaries. Beyond it the HBM-streamed variant
-    # (hbm_tables in _make_kernel) is CORRECT but measured 12x slower than
-    # the composable streamed pipeline at the big-scene workloads
-    # (docs/performance.md "Streamed-fused negative result"), so the
-    # composable path keeps the >256k regime in production. The variant
-    # stays reachable for kernel experiments (it is the starting point
-    # for a future chunked-DMA fused streamer) behind CUTRACE_FUSED_HBM=1.
+    # ~30 tables * m * c * 4B: up to 262144 slots (256k triangles at
+    # C=256) the cluster tables are VMEM-resident (~30 MB, inside the
+    # 100 MB scoped budget). Beyond it the HBM-streamed variant
+    # (hbm_tables in _make_kernel) takes over — DEFAULT since round 3:
+    # with 128-ray tiles + C=256 + deferred material lookups it measures
+    # FASTER than the composable streamed pipeline at every config (1M
+    # triangles 480x270 b2: 1.14 vs 1.67 s; even round 2's 12x-loss
+    # config, 160x90 b2, is now 0.57 vs 0.61 s — the smaller per-tile
+    # visit unions amortized away the per-visit DMA that killed it).
+    # CUTRACE_FUSED_HBM=0 opts out; scene size is bounded by the stacked
+    # HBM table (128 B per triangle slot).
     if m * c > _VMEM_TABLE_SLOTS:
         import os
 
-        if os.environ.get("CUTRACE_FUSED_HBM") != "1":
+        if os.environ.get("CUTRACE_FUSED_HBM") == "0":
+            return False
+        if m * _HBM_TAB_ROWS * c * 4 > 8 * 2**30:  # ~16M triangle slots
             return False
     # The in-kernel unroll costs ~2 cast blocks per wave node (the light
     # and shadow-march loops are dynamic fori_loops, so they don't
@@ -1293,9 +1291,17 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
         "CUTRACE_ABLATE", "").split(",")))
     # topology emission (ops/replay.py): full casts also track the winner
     # CODE column; shadow-march casts track it too in transparent scenes
-    # (opaque shadows store only the occlusion flag)
-    attrs_full = _TRI_ATTRS + ((("order", _A_CODE),) if emit_topo else ())
-    attrs_shadow = _TRI_ATTRS_SHADOW + (
+    # (opaque shadows store only the occlusion flag).
+    # Material params are deferred like the sublane kernel's: the attr
+    # pass / march accumulate only the winner's material INDEX (riding in
+    # the _A_CR slot), one one-hot over the (n_mats, 8) table per cast
+    # materializes the parameter columns.
+    attrs_full = (
+        ("obj", _A_OBJ),
+        ("snx", _A_NX), ("sny", _A_NY), ("snz", _A_NZ),
+        ("mat", _A_CR),
+    ) + ((("order", _A_CODE),) if emit_topo else ())
+    attrs_shadow = (("obj", _A_OBJ), ("mat", _A_CR)) + (
         (("order", _A_CODE),) if (emit_topo and not opaque) else ())
     per_light = 1 if opaque else shadow_steps
     if emit_topo:
@@ -1307,7 +1313,7 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
     def kernel(hits_ref, rays_ref, *rest):
         n_tab = len(_TABLE_NAMES)
         tabs = dict(zip(_TABLE_NAMES, rest[:n_tab]))
-        (aabb_ref, plane_ref, sphere_ref, lights_ref, scal_ref,
+        (aabb_ref, mat_ref, plane_ref, sphere_ref, lights_ref, scal_ref,
          out_ref, bt_s, bk_s, at_s, mst_s, tree_s, bits_s) = rest[n_tab:]
 
         topo_iter = iter(topo_nodes) if emit_topo else None
@@ -1660,7 +1666,10 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                         oneh = (col("order") == bk_s[:]).astype(
                             jnp.float32)  # (C, R)
                         mine = mst_s[6:7, :] == float(mi)
-                        for name, j in _TRI_ATTRS:
+                        for name, j in (
+                                ("obj", _A_OBJ), ("snx", _A_NX),
+                                ("sny", _A_NY), ("snz", _A_NZ),
+                                ("mat", _A_CR)):
                             val = jnp.sum(oneh * col(name), axis=0,
                                           keepdims=True)
                             at_s[j:j + 1, :] = jnp.where(
@@ -1681,8 +1690,15 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     (tmin == best_t) & (kmin < best_obj)
                 )
                 oneh = ((t == tmin) & (key == kmin)).astype(jnp.float32)
-                pairs = [(j, j) for j in
-                         (range(15) if full else (_A_OBJ, _A_TRANSP))]
+                # material params are deferred (mat INDEX in the _A_CR
+                # slot until the post-merge lookup)
+                if full:
+                    pairs = [(j, j) for j in
+                             (_A_OBJ, _A_NX, _A_NY, _A_NZ,
+                              _A_SPH, _A_CX, _A_CY, _A_CZ)]
+                    pairs.append((_ROW_MAT, _A_CR))
+                else:
+                    pairs = [(_A_OBJ, _A_OBJ), (_ROW_MAT, _A_CR)]
                 if emit_topo and (full or not opaque):
                     pairs.append((_ROW_CODE, _A_CODE))
                 for src_j, j in pairs:
@@ -1712,6 +1728,26 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     bt_s[:] = jnp.maximum(bt_s[:], occ)
                 else:
                     merge_kind(sphere_ref, n_sp, ts, oks)
+
+            if not occl:
+                # deferred material-parameter fetch (see the sublane
+                # kernel's twin): ONE one-hot over the (n_mats, 8) table;
+                # misses pick material 0, masked by `hit` at consumers
+                n_mats = mat_ref.shape[0]
+                matv = at(_A_CR)  # (1, R) winner material index
+                onehm = (matv == jax.lax.broadcasted_iota(
+                    jnp.int32, (n_mats, 1), 0).astype(jnp.float32)
+                ).astype(jnp.float32)  # (n_mats, R)
+                fetch = (
+                    ((0, _A_CR), (1, _A_CG), (2, _A_CB), (3, _A_SPEC),
+                     (4, _A_REFL), (5, _A_PHONG), (6, _A_TRANSP))
+                    if full else ((6, _A_TRANSP),)
+                )
+                for row, j in fetch:
+                    at_s[j:j + 1, :] = jnp.sum(
+                        onehm * mat_ref[:, row:row + 1], axis=0,
+                        keepdims=True,
+                    )
 
             return ndx, ndy, ndz
 
@@ -2078,8 +2114,8 @@ def _run_fused(tables, aabb, aabb2, mat_tab, plane, sphere, lights,
             in_specs=[pl.BlockSpec((8, tile_r), lambda i, s: (0, i),
                                    memory_space=pltpu.VMEM)]
             + [const((c, m)) for _ in _TABLE_NAMES]
-            + [const((m, _AABB_ROWS)), const((n_pl, _PS_ROWS)),
-               const((n_sp, _PS_ROWS)),
+            + [const((m, _AABB_ROWS)), const((n_mats, 8)),
+               const((n_pl, _PS_ROWS)), const((n_sp, _PS_ROWS)),
                smem((max(1, n_lights), 8)), smem((1, 4))],
             out_specs=pl.BlockSpec((rows_out, tile_r), lambda i, s: (0, i),
                                    memory_space=pltpu.VMEM),
@@ -2101,7 +2137,7 @@ def _run_fused(tables, aabb, aabb2, mat_tab, plane, sphere, lights,
             interpret=interpret,
             compiler_params=params,
         )(hits, rays.T, *[tables[k].T for k in _TABLE_NAMES],
-          aabb.T, plane.T, sphere.T, lights, scalars)
+          aabb.T, mat_tab.T, plane.T, sphere.T, lights, scalars)
         return out.T
 
     # Sublane layout: topo on STATIC lane indices — opaque: 2 columns per

@@ -198,7 +198,8 @@ def test_fused_no_lights(scenes_dir):
 def test_prepare_picks_lanes_friendly_cluster_size(scenes_dir):
     """prepare() chooses the smallest cluster size that keeps the
     partition inside the rays-on-lanes kernel's M <= 32 static unroll
-    (finer clusters cull more per visit), and C=128 beyond that range."""
+    (finer clusters cull more per visit), and C=256 beyond that range
+    (the sublane optimum — docs/performance.md round 3)."""
     from cutrace_tpu.ops.fused import _LANES_MAX_M
     from cutrace_tpu.scene.mesh_io import subdivide
 
@@ -212,17 +213,17 @@ def test_prepare_picks_lanes_friendly_cluster_size(scenes_dir):
             ob.vertices = subdivide(ob.vertices, 2)  # 16k tris
     p = prepare(sc, accel="fused")
     m, c = p.accel.order.shape
-    assert c == 128 and m > _LANES_MAX_M
+    assert c == 256 and m > _LANES_MAX_M
 
 
 @pytest.mark.slow
 def test_hbm_streamed_tables_parity(scenes_dir, monkeypatch):
     """The HBM-streamed sublane variant (cluster tables in one stacked HBM
     array, visited clusters DMA'd per visit) must match the VMEM-resident
-    kernel and the composable renderer exactly. It is correct but measured
-    slower than the composable streamed pipeline at big-scene workloads
-    (docs/performance.md), so fused_supported never auto-selects it; this
-    test forces it by shrinking the VMEM table threshold."""
+    kernel and the composable renderer exactly. Since round 3 it is the
+    production default for scenes past the VMEM table budget (measured
+    faster than the composable streamed pipeline — docs/performance.md);
+    this test forces it on a tiny scene by shrinking the threshold."""
     import jax.numpy as jnp
     import numpy as np
 
