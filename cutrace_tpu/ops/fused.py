@@ -42,11 +42,14 @@ fixed-topology semantics, never silently zero. Scene semantics match the
 composable path to ~1e-4 (tests/test_fused.py, test_replay.py); the
 composable path remains the oracle.
 
-Scope: scenes whose cluster tables fit VMEM (<= ~256k triangles) and whose
-unrolled bounce tree stays within 63 nodes (two-branch trees at the
-reference CLI's bounces=5 included; since the depth-first tile-dead
-skipping, dead nodes cost one scalar sync). render.renderer.render()
-falls back to the composable pipeline otherwise.
+Scope: any scene whose unrolled bounce tree stays within 63 nodes
+(two-branch trees at the reference CLI's bounces=5 included; since the
+depth-first tile-dead skipping, dead nodes cost one scalar sync). Cluster
+tables are VMEM-resident up to ~256k triangle slots and HBM-streamed per
+visited cluster beyond (the round-3 default — measured faster than the
+composable streamed pipeline at every config); render.renderer.render()
+falls back to the composable pipeline past the 63-node budget or the
+stacked-table HBM bound.
 """
 
 from __future__ import annotations

@@ -3,10 +3,12 @@
 The CUDA reference loads arbitrary-size models through Assimp
 (default_schema.hpp:516-545); this framework's analog is bounded by HBM,
 not VMEM: up to ~256k triangles the fused whole-pipeline kernel keeps all
-cluster tables VMEM-resident, beyond that the composable culling kernel
-streams cluster chunks (ops/pallas_cast.py M_CHUNK). Midpoint subdivision
-is used here to scale the 1000-triangle bunny to any size without
-changing the image (the children tile the parent surface exactly).
+cluster tables VMEM-resident, beyond that the SAME kernel streams each
+visited cluster's table block from HBM (ops/fused.py hbm_tables — the
+round-3 default; the composable culling kernel, ops/pallas_cast.py,
+remains the oracle/fallback). Midpoint subdivision is used here to scale
+the 1000-triangle bunny to any size without changing the image (the
+children tile the parent surface exactly).
 
     python examples/big_scene.py --level 4          # 256k triangles
     python examples/big_scene.py --level 5 --width 480 --height 270
