@@ -263,3 +263,53 @@ def test_replay_sublane_transparent(scenes_dir):
         a, bb = np.asarray(gf[k]), np.asarray(gc[k])
         scale = max(np.abs(bb).max(), 1e-6)
         assert np.abs(a - bb).max() / scale < 2e-4, k
+
+
+@pytest.mark.slow
+def test_replay_hbm_streamed_kernel(scenes_dir, monkeypatch):
+    """Topology emission + replay backward through the HBM-streamed
+    sublane kernel (the round-3 default past the VMEM table budget —
+    production path for 1M-triangle scenes). Forced here by shrinking the
+    threshold; gradients must match the composable pipeline."""
+    import cutrace_tpu.ops.fused as F
+    from cutrace_tpu.ops import bvh
+    from cutrace_tpu.ops.replay import replay_render_rays
+    from cutrace_tpu.scene.soa import scene_to_soa
+
+    monkeypatch.setattr(F, "_VMEM_TABLE_SLOTS", 64)
+    sc = load_scene(scenes_dir / "bunny.json")
+    sc.camera.width, sc.camera.height = 16, 8
+    soa = scene_to_soa(sc)
+    accel = bvh.build_accel(soa, cluster_size=8, kind="fused")
+    assert accel.order.shape[0] * accel.order.shape[1] > 64
+    b = 2
+    assert replay_supported(soa, accel, b)
+    idx = jnp.arange(soa.width * soa.height, dtype=jnp.int32)
+    o, d = camera_rays(soa, idx % soa.width, idx // soa.width)
+    c, dep, nrm, codes = _fused_forward(soa, accel, o, d, 1e-3, b,
+                                        emit_topo=True)
+    rc, _, _ = replay_render_rays(soa, o, d, codes, jnp.float32(1e-3), b)
+    assert float(jnp.abs(rc - c).max()) < 1e-5
+
+    params = extract_params(soa)
+    tgt = jax.lax.stop_gradient(c) * 0.9
+
+    def loss_f(p):
+        s = with_params(soa, p)
+        o2, d2 = camera_rays(s, idx % soa.width, idx // soa.width)
+        cf, _, _ = fused_render_rays(s, accel, o2, d2, 1e-3, b)
+        return jnp.mean((cf - tgt) ** 2)
+
+    def loss_c(p):
+        s = with_params(soa, p)
+        o2, d2 = camera_rays(s, idx % soa.width, idx // soa.width)
+        cf, _, _ = render_rays(s, o2, d2, b, jnp.float32(1e-3),
+                               candidates_fn(accel))
+        return jnp.mean((cf - tgt) ** 2)
+
+    gf = jax.grad(loss_f)(params)
+    gc = jax.grad(loss_c)(params)
+    for k in ("tri_p1", "mat_color", "light_color"):
+        a, bb = np.asarray(gf[k]), np.asarray(gc[k])
+        scale = max(np.abs(bb).max(), 1e-6)
+        assert np.abs(a - bb).max() / scale < 2e-4, k
