@@ -227,6 +227,28 @@ def _tables(soa, accel, o0):
     aabb2 = aabb2.at[0:3].set(jnp.min(bmn.reshape(g, 32, 3), axis=1).T)
     aabb2 = aabb2.at[3:6].set(jnp.max(bmx.reshape(g, 32, 3), axis=1).T)
 
+    # two-level exact cull table: columns [0:m3) = cluster AABBs padded to
+    # a 128 multiple with the never-hit sentinel, [m3:m3+g3) = the
+    # 128-cluster-group AABBs (fused.py group-exact branch)
+    g3 = -(-m // 128)
+    m3 = g3 * 128
+    pad3 = m3 - m
+    bmn3 = jnp.concatenate(
+        [clusters.bmin - o0,
+         jnp.full((pad3, 3), _SUPER_FAR, jnp.float32)]) if pad3 else (
+        clusters.bmin - o0)
+    bmx3 = jnp.concatenate(
+        [clusters.bmax - o0,
+         jnp.full((pad3, 3), _SUPER_FAR, jnp.float32)]) if pad3 else (
+        clusters.bmax - o0)
+    aabbg = jnp.zeros((_AABB_ROWS, m3 + g3), jnp.float32)
+    aabbg = aabbg.at[0:3, :m3].set(bmn3.T)
+    aabbg = aabbg.at[3:6, :m3].set(bmx3.T)
+    aabbg = aabbg.at[0:3, m3:].set(
+        jnp.min(bmn3.reshape(g3, 128, 3), axis=1).T)
+    aabbg = aabbg.at[3:6, m3:].set(
+        jnp.max(bmx3.reshape(g3, 128, 3), axis=1).T)
+
     def kind_rows(n, normal, col_k, mats, mat_idx, obj, valid, is_sphere,
                   center, extra, code_base):
         rows = jnp.zeros((_PS_ROWS, n), jnp.float32)
@@ -283,7 +305,7 @@ def _tables(soa, accel, o0):
         sg(soa.mat_phong), sg(soa.mat_transparency),
         jnp.zeros_like(sg(soa.mat_specular)),
     ])
-    return t, aabb, aabb2, plane, sphere, mat_tab
+    return t, aabb, aabb2, aabbg, plane, sphere, mat_tab
 
 
 def _light_table(soa, o0):
@@ -402,15 +424,15 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
         if hbm_tables:
             tab_hbm, rest = rest[0], rest[1:]
             tabs = None
-            (aabb_ref, aabb2_ref, mat_ref, plane_ref, sphere_ref,
-             lights_ref, scal_ref, out_ref, bt_s, bk_s, at_s, mst_s,
-             tree_s, bits_s, tvm_s, dma_sem) = rest
+            (aabb_ref, aabb2_ref, aabbg_ref, mat_ref, plane_ref,
+             sphere_ref, lights_ref, scal_ref, out_ref, bt_s, bk_s, at_s,
+             mst_s, tree_s, bits_s, tvm_s, dma_sem) = rest
         else:
             n_tab = len(_TABLE_NAMES)
             tabs = dict(zip(_TABLE_NAMES, rest[:n_tab]))
-            (aabb_ref, aabb2_ref, mat_ref, plane_ref, sphere_ref,
-             lights_ref, scal_ref, out_ref, bt_s, bk_s, at_s, mst_s,
-             tree_s, bits_s) = rest[n_tab:]
+            (aabb_ref, aabb2_ref, aabbg_ref, mat_ref, plane_ref,
+             sphere_ref, lights_ref, scal_ref, out_ref, bt_s, bk_s, at_s,
+             mst_s, tree_s, bits_s) = rest[n_tab:]
 
         node_counter = [0]  # DF node index (matches replay.topo_layout)
 
@@ -570,13 +592,18 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     hi = jnp.where(jnp.isnan(hi), inf, hi)
                     return lo, hi
 
-                def exact_anyray(ref, n_boxes):
-                    """Exact per-ray slab over `ref`'s boxes, reduced to
-                    the (1, n_boxes) any-alive-ray-touches mask (with the
+                def exact_anyray(ref, n_boxes, at=0):
+                    """Exact per-ray slab over `n_boxes` boxes of `ref`
+                    starting at STATIC column `at`, reduced to the
+                    (1, n_boxes) any-alive-ray-touches mask (with the
                     cast's ldist / t_bound / alive refinements)."""
-                    lx, hx = axis_minmax(ref[0:1, :], ref[3:4, :], cox, cdx)
-                    ly, hy = axis_minmax(ref[1:2, :], ref[4:5, :], coy, cdy)
-                    lz, hz = axis_minmax(ref[2:3, :], ref[5:6, :], coz, cdz)
+                    sl = slice(at, at + n_boxes)
+                    lx, hx = axis_minmax(ref[0:1, sl], ref[3:4, sl],
+                                         cox, cdx)
+                    ly, hy = axis_minmax(ref[1:2, sl], ref[4:5, sl],
+                                         coy, cdy)
+                    lz, hz = axis_minmax(ref[2:3, sl], ref[5:6, sl],
+                                         coz, cdz)
                     tmn = jnp.maximum(jnp.maximum(lx, ly),
                                       jnp.maximum(lz, 0.0))
                     tmx = jnp.minimum(jnp.minimum(hx, hy), hz)
@@ -592,10 +619,44 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                         jnp.where(cond, 1.0, 0.0), axis=0, keepdims=True
                     )  # (1, n_boxes)
 
+                g3 = -(-m // 128)
                 if m <= _EXACT_CULL_MAX_M:
                     # exact per-ray slab test: (tile_r, M) work, tightest
                     # possible mask
                     anyhit = exact_anyray(aabb_ref, m)
+                elif m <= _EXACT_GROUP_MAX_M:
+                    # Two-level EXACT cull (the big-M production regime,
+                    # round 3): level 1 slab-tests the ceil(M/128)
+                    # 128-cluster-group AABBs ((tile_r, G3) work); level 2
+                    # slab-tests the clusters of each SURVIVING group via
+                    # a STATIC 128-column slice of the padded table (the
+                    # group loop is Python-unrolled, so no dynamic lane
+                    # indexing). The final mask is identical to the full
+                    # exact cull (a cluster hit implies its group's merged
+                    # box is hit), at O(G3 + 128 x |surviving|) instead of
+                    # O(M) vector volume per cast. Packs into bits_s
+                    # words, group word at index 4*g3.
+                    m3 = g3 * 128
+                    gany = exact_anyray(aabbg_ref, g3, at=m3)  # (1, G3)
+                    laneg = jax.lax.broadcasted_iota(jnp.int32, (1, g3), 1)
+                    bits_s[4 * g3] = jnp.sum(jnp.where(
+                        gany > 0.0, jnp.int32(1) << (laneg & 31), 0))
+                    for w in range(n_words):
+                        bits_s[w] = 0
+                    for j in range(g3):
+                        @pl.when(((bits_s[4 * g3] >> j) & 1) != 0)
+                        def _(j=j):
+                            anyh = exact_anyray(aabbg_ref, 128,
+                                                at=128 * j)  # (1, 128)
+                            lane = jax.lax.broadcasted_iota(
+                                jnp.int32, (1, 128), 1)
+                            shifted = jnp.int32(1) << (lane & 31)
+                            for w2 in range(4):
+                                in_w = ((lane >= 32 * w2)
+                                        & (lane < 32 * (w2 + 1)))
+                                bits_s[4 * j + w2] = jnp.sum(jnp.where(
+                                    in_w & (anyh > 0.0), shifted, 0))
+                    anyhit = None  # bits_s already packed
                 else:
                     # conservative interval slab: O(M) per cast instead of
                     # O(tile_r * M) — the tile's rays collapse to per-axis
@@ -682,17 +743,19 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                         cond &= exp[:, :m] > 0.0
                     anyhit = jnp.where(cond, 1.0, 0.0)
 
-                # pack the M-bit mask into int32 words: one integer
-                # shift+sum reduction per word = ONE vector->scalar sync
-                # each (the earlier two-f32-half form paid two). lane & 31
-                # keeps every shift in [0, 31]; selection masks the rest.
-                lane = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
-                shifted = jnp.int32(1) << (lane & 31)
-                for w in range(n_words):
-                    in_w = (lane >= 32 * w) & (lane < 32 * (w + 1))
-                    bits_s[w] = jnp.sum(
-                        jnp.where(in_w & (anyhit > 0.0), shifted, 0)
-                    )
+                if anyhit is not None:
+                    # pack the M-bit mask into int32 words: one integer
+                    # shift+sum reduction per word = ONE vector->scalar
+                    # sync each. lane & 31 keeps every shift in [0, 31];
+                    # selection masks the rest. (The group-exact branch
+                    # above packed its words already.)
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+                    shifted = jnp.int32(1) << (lane & 31)
+                    for w in range(n_words):
+                        in_w = (lane >= 32 * w) & (lane < 32 * (w + 1))
+                        bits_s[w] = jnp.sum(
+                            jnp.where(in_w & (anyhit > 0.0), shifted, 0)
+                        )
 
             def visit(mi):
                     if hbm_tables:
@@ -1248,7 +1311,13 @@ _LANES_MAX_M = 32  # bits of one int32 cull word (bit 31 lands via the
 # cluster count the exact per-ray slab test is cheap and tightest; above it
 # the O(M) conservative interval cull wins (tests lower this to exercise
 # the interval path on small scenes).
-_EXACT_CULL_MAX_M = 2048
+_EXACT_CULL_MAX_M = 512
+# Between _EXACT_CULL_MAX_M and this, the sublane kernel's secondary culls
+# run the TWO-LEVEL exact scheme (128-cluster-group slab, then exact
+# per-cluster slabs inside surviving groups via static slices) — identical
+# mask to the flat exact cull at a fraction of the vector volume. Beyond
+# it (G3 > 32 static group bodies) the interval+supercluster cull runs.
+_EXACT_GROUP_MAX_M = 4096
 
 
 def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
@@ -2057,14 +2126,15 @@ def _make_kernel_lanes(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                      "has_planes", "has_spheres", "node_skip", "emit_topo",
                      "defer_attrs", "refresh_at"),
 )
-def _run_fused(tables, aabb, aabb2, mat_tab, plane, sphere, lights,
-               rays, hits, scalars,
+def _run_fused(tables, aabb, aabb2, aabbg, mat_tab, plane, sphere,
+               lights, rays, hits, scalars,
                bounces, shadow_steps, any_refl, any_transp, n_lights,
                interpret, tile_r=TILE_R, secondary_cull=True,
                has_planes=True, has_spheres=True, node_skip=True,
                emit_topo=False, defer_attrs=True, refresh_at=None):
     m, c = tables["k"].shape
     g = aabb2.shape[1]
+    n_g3 = aabbg.shape[1]
     n_mats = mat_tab.shape[1]
     n_pl = plane.shape[1]
     n_sp = sphere.shape[1]
@@ -2182,7 +2252,9 @@ def _run_fused(tables, aabb, aabb2, mat_tab, plane, sphere, lights,
         # bounce-tree state: cols 0-2 color accumulator, cols
         # 8(L+1).. parked transparency-child frames (DF unroll)
         pltpu.VMEM((tile_r, 8 * (bounces + 1)), jnp.float32),
-        pltpu.SMEM((-(-m // 32),), jnp.int32),  # secondary cull bits
+        # secondary cull bits: ceil(m3/32) cluster words (m3 = m
+        # padded to the group-exact branch's 128 multiple) + 1 group word
+        pltpu.SMEM((4 * (-(-m // 128)) + 1,), jnp.int32),
     ]
     if hbm:
         scratch += [
@@ -2197,7 +2269,7 @@ def _run_fused(tables, aabb, aabb2, mat_tab, plane, sphere, lights,
                                memory_space=pltpu.VMEM)]
         + tab_in
         + [const((_AABB_ROWS, m)), const((_AABB_ROWS, g)),
-           const((8, n_mats)),
+           const((_AABB_ROWS, n_g3)), const((8, n_mats)),
            const((_PS_ROWS, n_pl)), const((_PS_ROWS, n_sp)),
            smem((max(1, n_lights), 8)), smem((1, 4))],
         out_specs=pl.BlockSpec((tile_r, cols_out), lambda i, s: (i, 0),
@@ -2211,7 +2283,7 @@ def _run_fused(tables, aabb, aabb2, mat_tab, plane, sphere, lights,
         interpret=interpret,
         compiler_params=params,
     )(hits, rays, *tab_ops,
-      aabb, aabb2, mat_tab, plane, sphere, lights, scalars)
+      aabb, aabb2, aabbg, mat_tab, plane, sphere, lights, scalars)
     return out
 
 
@@ -2285,7 +2357,8 @@ def _fused_forward(soa, accel, o, d, fudge, bounces, emit_topo=False):
 
     sg = jax.lax.stop_gradient
     o0 = sg(soa.scene_center)
-    tables, aabb, aabb2, plane, sphere, mat_tab = _tables(soa, accel, o0)
+    (tables, aabb, aabb2, aabbg, plane, sphere,
+     mat_tab) = _tables(soa, accel, o0)
     lights = _light_table(soa, o0)
     m = tables["k"].shape[0]
 
@@ -2398,8 +2471,8 @@ def _fused_forward(soa, accel, o, d, fudge, bounces, emit_topo=False):
     refresh_at = (None if ra_env is None else
                   tuple(int(x) for x in ra_env.split(",") if x))
     out = _run_fused(
-        tables, aabb, aabb2, mat_tab, plane, sphere, lights, rays, hits,
-        scalars,
+        tables, aabb, aabb2, aabbg, mat_tab, plane, sphere, lights, rays,
+        hits, scalars,
         bounces=bounces, shadow_steps=soa.shadow_steps,
         any_refl=soa.any_reflective, any_transp=soa.any_transparent,
         n_lights=soa.n_lights, interpret=accel.interpret,

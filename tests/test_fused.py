@@ -144,14 +144,21 @@ def test_fused_never_stale(scenes_dir):
     _compare([ref], [out], names=("color",), atol=1e-3)
 
 
-@pytest.mark.parametrize("exact_cap", [128, 16])
-def test_fused_multiword_cull_paths(scenes_dir, monkeypatch, exact_cap):
-    """M > 31 clusters exercises the multi-word secondary cull bitmask;
-    lowering _EXACT_CULL_MAX_M forces the conservative interval cull (the
-    big-scene path). Both must match the composable renderer exactly."""
+@pytest.mark.parametrize("exact_cap,group_cap", [
+    (128, 4096),  # flat exact cull (m=125 <= 128)
+    (16, 4096),   # two-level exact group cull (16 < m <= 4096)
+    (16, 16),     # conservative interval cull (m > both caps)
+])
+def test_fused_multiword_cull_paths(scenes_dir, monkeypatch, exact_cap,
+                                    group_cap):
+    """M > 31 clusters exercises the multi-word secondary cull bitmask in
+    all three regimes (flat exact / two-level group exact / conservative
+    interval — forced by lowering the caps). All must match the
+    composable renderer exactly."""
     from cutrace_tpu.ops import fused
 
     monkeypatch.setattr(fused, "_EXACT_CULL_MAX_M", exact_cap)
+    monkeypatch.setattr(fused, "_EXACT_GROUP_MAX_M", group_cap)
     soa = _load(scenes_dir, "bunny.json", 32, 18)
     accel = bvh.build_accel(soa, 8, kind="fused", interpret=True)
     m = accel.order.shape[0]
@@ -283,6 +290,8 @@ def test_fused_supercluster_cull_parity(scenes_dir, monkeypatch):
     _jax.clear_caches()
     monkeypatch.setattr(
         "cutrace_tpu.ops.fused._EXACT_CULL_MAX_M", 16)
+    monkeypatch.setattr(
+        "cutrace_tpu.ops.fused._EXACT_GROUP_MAX_M", 16)
     try:
         soa = _load(scenes_dir, "bunny.json", 32, 18)
         accel = bvh.build_accel(soa, 8, kind="fused", interpret=True)
