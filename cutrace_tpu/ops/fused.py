@@ -2585,11 +2585,41 @@ def _fused_bwd(fudge, bounces, res, cot):
         # replay (gathers + shading math only, ops/replay.py). Gradient
         # semantics match the composable path — it re-derives the same
         # continuous math at the same stop-gradiented winners.
+        #
+        # Big ray counts run the replay CHUNKED under lax.map: the packed
+        # row gather's transpose can lower to a dense one-hot contraction
+        # ((rays x primitives) — 100 GB at 1080p unchunked), and mapping
+        # bounds the transient to one chunk while the parameter cotangents
+        # accumulate across chunks in the map transpose.
         from cutrace_tpu.ops.replay import replay_render_rays
 
+        _REPLAY_CHUNK = 262144
+
         def rep(soa_, o_, d_):
-            return replay_render_rays(soa_, o_, d_, codes,
-                                      jnp.float32(fudge), bounces)
+            r0 = o_.shape[0]
+            k = -(-r0 // _REPLAY_CHUNK)
+            if k <= 1:
+                return replay_render_rays(soa_, o_, d_, codes,
+                                          jnp.float32(fudge), bounces)
+            ch = -(-r0 // k)
+            pad = k * ch - r0
+
+            def p(x, fill):
+                if not pad:
+                    return x
+                return jnp.concatenate(
+                    [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+
+            oo = p(o_, 0.0).reshape(k, ch, 3)
+            dd = p(d_, 1.0).reshape(k, ch, 3)
+            cc = p(codes, -1).reshape(k, ch, codes.shape[1])
+            c, dep, nrm = jax.lax.map(
+                lambda a: replay_render_rays(
+                    soa_, a[0], a[1], a[2], jnp.float32(fudge), bounces),
+                (oo, dd, cc),
+            )
+            return (c.reshape(k * ch, 3)[:r0], dep.reshape(k * ch)[:r0],
+                    nrm.reshape(k * ch, 3)[:r0])
 
         _, vjp = jax.vjp(rep, soa, o, d)
         g_soa, g_o, g_d = vjp(cot)

@@ -93,59 +93,114 @@ def _normalize(a):
     return a / jnp.sqrt(_dot(a, a))[..., None]
 
 
-def hit_from_code(soa, o, d, code, mind, o0):
+# packed-row column layout (see _packed_table)
+_PK_A = slice(0, 3)     # tri p1 | plane point | sphere center
+_PK_B = slice(3, 6)     # tri p2 | plane normal | (radius, 0, 0)
+_PK_C = slice(6, 9)     # tri p3 | 0 | 0
+_PK_COL = slice(10, 13)  # material diffuse color
+_PK_SPEC = 13
+_PK_REFL = 14
+_PK_PHONG = 15
+_PK_TRANSP = 16
+_PK_W = 17
+
+
+def _packed_table(soa):
+    """(T+P+S, 17) packed per-primitive rows: geometry + the winner's
+    material parameters. The replay then needs exactly ONE row gather per
+    (node, ray) instead of ~12 scattered element gathers — TPU gathers
+    dominated the replay backward (a 1080p b5 grad step traced as ~90
+    uniform 18 ms gather fusions vs 0.35 ms of pure bandwidth; the same
+    packed-row trick measured 3x in ops/pallas_cast.py). Built from the
+    live soa arrays IN TRACE, so it is differentiable (gradients flow
+    through the concat back to every geometry/material leaf) and never
+    stale; XLA CSEs it across the tree's nodes."""
+    def matcols(mat_idx):
+        return jnp.concatenate([
+            soa.mat_color[mat_idx],
+            soa.mat_specular[mat_idx][:, None],
+            soa.mat_reflect[mat_idx][:, None],
+            soa.mat_phong[mat_idx][:, None],
+            soa.mat_transparency[mat_idx][:, None],
+        ], axis=1)  # (N, 7)
+
+    T = soa.tri_p1.shape[0]
+    P = soa.pl_point.shape[0]
+    S = soa.sp_center.shape[0]
+    f32 = jnp.float32
+    tri = jnp.concatenate(
+        [soa.tri_p1, soa.tri_p2, soa.tri_p3,
+         jnp.zeros((T, 1), f32), matcols(soa.tri_mat)], axis=1)
+    pl = jnp.concatenate(
+        [soa.pl_point, soa.pl_normal, jnp.zeros((P, 4), f32),
+         matcols(soa.pl_mat)], axis=1)
+    sp = jnp.concatenate(
+        [soa.sp_center, soa.sp_radius[:, None], jnp.zeros((S, 6), f32),
+         matcols(soa.sp_mat)], axis=1)
+    return jnp.concatenate([tri, pl, sp], axis=0)
+
+
+def hit_from_code(soa, o, d, code, mind, o0, table=None):
     """Differentiable hit re-derivation at a FIXED winner primitive.
 
     o, d: (R,3); code: (R,) i32 (see module docstring); mind: (R,) f32
     strict lower t bound (sphere root choice only — all other validity is
-    topology and is not re-checked). Returns (hit, t, mat, normal,
-    is_sphere): t=+inf on miss, normal raw per-kind (triangles
-    pre-normalized, planes as authored, spheres normalized), everything
-    else NaN-free on misses (grad safety)."""
+    topology and is not re-checked). Returns (hit, t, normal, is_sphere,
+    mrow): t=+inf on miss, normal raw per-kind (triangles pre-normalized,
+    planes as authored, spheres normalized), mrow = the winner's packed
+    row ((R, 17), material params at the _PK_* columns), everything
+    NaN-free on misses (grad safety). `table` is the _packed_table (built
+    on demand if absent; pass it in loops so XLA sees one table)."""
     T = soa.tri_p1.shape[0]
     P = soa.pl_point.shape[0]
     S = soa.sp_center.shape[0]
+    if table is None:
+        table = _packed_table(soa)
     hit = code >= 0
     is_tri = hit & (code < T)
     is_pl = hit & (code >= T) & (code < T + P)
     is_sp = hit & (code >= T + P)
 
     oc = o - o0
+    row = table[jnp.clip(code, 0, T + P + S - 1)]  # (R, 17): ONE gather
+    A = row[:, _PK_A] - o0
+    Bv = row[:, _PK_B]
+    Cv = row[:, _PK_C]
 
     # triangles (default_schema.hpp:57-78; forms of ops/intersect.py
     # cast_triangles, elementwise on the single gathered winner)
-    ti = jnp.clip(code, 0, T - 1)
-    p1 = soa.tri_p1[ti] - o0
-    p2 = soa.tri_p2[ti] - o0
-    p3 = soa.tri_p3[ti] - o0
+    p1, p3 = A, Cv - o0
+    p2 = Bv - o0
     a = p2 - p1
     b = p2 - p3
     n = jnp.cross(a, b)
     alpha = _dot(d, n)
     inv = 1.0 / jnp.where(alpha == 0.0, 1.0, alpha)
     t_tri = (_dot(p2, n) - _dot(oc, n)) * inv
-    # unflipped, pre-normalized shading normal (default_schema.hpp:72)
+    # unflipped, pre-normalized shading normal (default_schema.hpp:72).
+    # The zero-length guard sits INSIDE the sqrt: every ray evaluates
+    # every kind-branch on the SAME gathered row, and a plane/sphere row
+    # read as a degenerate triangle would otherwise send sqrt(0)'s NaN
+    # cotangent through the masked-off branch (jnp.where kills primals,
+    # not a branch's own NaN gradients).
     ncr = -jnp.cross(p2 - p3, p1 - p3)
-    nl = jnp.sqrt(_dot(ncr, ncr))
-    n_tri = ncr / jnp.where(nl == 0.0, 1.0, nl)[:, None]
-    m_tri = soa.tri_mat[ti]
+    nl2 = _dot(ncr, ncr)
+    nl = jnp.sqrt(jnp.where(nl2 == 0.0, 1.0, nl2))
+    n_tri = ncr / jnp.where(nl2 == 0.0, 1.0, nl)[:, None]
 
-    # planes (default_schema.hpp:189-201)
-    pi = jnp.clip(code - T, 0, P - 1)
-    pn = soa.pl_normal[pi]
-    kp = _dot(soa.pl_point[pi] - o0, pn)
+    # planes (default_schema.hpp:189-201): A = point, Bv = raw normal
+    pn = Bv
+    kp = _dot(A, pn)
     denom = _dot(d, pn)
     t_pl = (kp - _dot(oc, pn)) / jnp.where(denom == 0.0, 1.0, denom)
-    m_pl = soa.pl_mat[pi]
 
     # spheres (default_schema.hpp:226-251): t parametric w.r.t. the
     # NORMALIZED direction; root choice per the reference's validity rule
     # (both-roots min, else whichever clears mind) — recomputed from
-    # values, like the composable path does
+    # values, like the composable path does. A = center, Bv[0] = radius.
     dn = _normalize(d)
-    si = jnp.clip(code - T - P, 0, S - 1)
-    c = soa.sp_center[si] - o0
-    r2 = soa.sp_radius[si] ** 2
+    c = A
+    r2 = row[:, 3] ** 2
     dec = _dot(dn, c) - _dot(dn, oc)
     ec2 = _dot(oc, oc) - 2.0 * _dot(oc, c) + _dot(c, c)
     sub = dec * dec - (ec2 - r2)
@@ -161,9 +216,9 @@ def hit_from_code(soa, o, d, code, mind, o0):
     )
     pt_sp = oc + t_sp[:, None] * dn
     nsp = pt_sp - c
-    nil = jnp.sqrt(_dot(nsp, nsp))
-    n_sp = nsp / jnp.where(nil == 0.0, 1.0, nil)[:, None]
-    m_sp = soa.sp_mat[si]
+    nil2 = _dot(nsp, nsp)
+    nil = jnp.sqrt(jnp.where(nil2 == 0.0, 1.0, nil2))
+    n_sp = nsp / jnp.where(nil2 == 0.0, 1.0, nil)[:, None]
 
     t = jnp.where(is_tri, t_tri,
                   jnp.where(is_pl, t_pl, jnp.where(is_sp, t_sp, 1.0)))
@@ -172,19 +227,18 @@ def hit_from_code(soa, o, d, code, mind, o0):
         is_tri[:, None], n_tri,
         jnp.where(is_pl[:, None], pn, jnp.where(is_sp[:, None], n_sp, 0.0)),
     )
-    mat = jnp.where(is_tri, m_tri, jnp.where(is_pl, m_pl,
-                                             jnp.where(is_sp, m_sp, 0)))
-    return hit, t, mat, normal, is_sp
+    return hit, t, normal, is_sp, row
 
 
-def _phong_lights(soa, hit, point, nn, nd, mat, codes, shadow_base,
-                  per_light, o0):
+def _phong_lights(soa, hit, point, nn, nd, mrow, codes, shadow_base,
+                  per_light, o0, table):
     """Per-light Phong accumulation with replayed shadow topology
     (shading.hpp:64-99 + 22-45). nn: unit shading normal (miss -> +z);
-    nd: unit ray direction. Returns the full phong sum incl. ambient."""
-    diffuse = soa.mat_color[mat]
-    spec = soa.mat_specular[mat][:, None] * diffuse
-    phong_e = soa.mat_phong[mat]
+    nd: unit ray direction; mrow: the winner's packed row (material
+    params). Returns the full phong sum incl. ambient."""
+    diffuse = mrow[:, _PK_COL]
+    spec = mrow[:, _PK_SPEC][:, None] * diffuse
+    phong_e = mrow[:, _PK_PHONG]
     final = soa.ambient * diffuse
     md = -nd
     for li in range(soa.n_lights):
@@ -214,10 +268,10 @@ def _phong_lights(soa, hit, point, nn, nd, mat, codes, shadow_base,
             act = hit
             for si in range(per_light):
                 ccode = codes[:, shadow_base + li * per_light + si]
-                shit, st, smat, _, _ = hit_from_code(
-                    soa, point, sdir, ccode, last + 1e-3, o0
+                shit, st, _, _, srow = hit_from_code(
+                    soa, point, sdir, ccode, last + 1e-3, o0, table
                 )
-                transp = soa.mat_transparency[smat]
+                transp = srow[:, _PK_TRANSP]
                 okm = act & shit & jnp.isfinite(st) & (st < light_dist)
                 sh = sh + jnp.where(okm, 1.0 - transp, 0.0)
                 last = jnp.where(okm, st, last)
@@ -254,6 +308,7 @@ def replay_render_rays(soa, o, d, codes, fudge, bounces: int):
                            soa.any_transparent, soa.n_lights,
                            soa.shadow_steps)
     it = iter(nodes)
+    table = _packed_table(soa)
 
     color = [jnp.zeros((R, 3), jnp.float32)]
     depth_normal = [None, None]
@@ -261,8 +316,8 @@ def replay_render_rays(soa, o, d, codes, fudge, bounces: int):
 
     def do_node(level, o3, d3, w, mind, root):
         _, cast_row, shadow_base = next(it)
-        hit, t, mat, rnorm, is_sp = hit_from_code(
-            soa, o3, d3, codes[:, cast_row], mind, o0
+        hit, t, rnorm, is_sp, mrow = hit_from_code(
+            soa, o3, d3, codes[:, cast_row], mind, o0, table
         )
         t_safe = jnp.where(hit, t, 1.0)
         nd = _normalize(d3)
@@ -274,8 +329,8 @@ def replay_render_rays(soa, o, d, codes, fudge, bounces: int):
             depth_normal[1] = jnp.where(hit[:, None], rnorm, 0.0)
         nrm = jnp.where(hit[:, None], rnorm, _UNIT_Z[None, :])
         nn = _normalize(nrm)
-        ph = _phong_lights(soa, hit, point, nn, nd, mat, codes,
-                           shadow_base, per_light, o0)
+        ph = _phong_lights(soa, hit, point, nn, nd, mrow, codes,
+                           shadow_base, per_light, o0, table)
         ph = jnp.where(hit[:, None], ph, 0.0)
 
         if level == bounces or not (soa.any_reflective
@@ -283,7 +338,7 @@ def replay_render_rays(soa, o, d, codes, fudge, bounces: int):
             color[0] = color[0] + w[:, None] * ph
             return
         if soa.any_transparent:
-            tr = soa.mat_transparency[mat]
+            tr = mrow[:, _PK_TRANSP]
             f = jnp.where(hit & (tr >= _EPS), tr, 0.0)
         else:
             f = jnp.zeros_like(w)
@@ -291,7 +346,7 @@ def replay_render_rays(soa, o, d, codes, fudge, bounces: int):
         color[0] = color[0] + weff[:, None] * ph
         child_o = o3 + t_safe[:, None] * d3  # raw d (shading.hpp:131,144)
         if soa.any_reflective:
-            refl = soa.mat_reflect[mat]
+            refl = mrow[:, _PK_REFL]
             r = jnp.where(hit & (refl >= _EPS), refl, 0.0)
             rd = nd - 2.0 * _dot(nd, nn)[:, None] * nn
             do_node(level + 1, child_o, rd, weff * r, fudge_v, False)
