@@ -2593,7 +2593,7 @@ def _fused_bwd(fudge, bounces, res, cot):
         # accumulate across chunks in the map transpose.
         from cutrace_tpu.ops.replay import replay_render_rays
 
-        _REPLAY_CHUNK = 262144
+        _REPLAY_CHUNK = int(__import__("os").environ.get("CUTRACE_REPLAY_CHUNK", 131072))
 
         def rep(soa_, o_, d_):
             r0 = o_.shape[0]

@@ -313,3 +313,35 @@ def test_replay_hbm_streamed_kernel(scenes_dir, monkeypatch):
         a, bb = np.asarray(gf[k]), np.asarray(gc[k])
         scale = max(np.abs(bb).max(), 1e-6)
         assert np.abs(a - bb).max() / scale < 2e-4, k
+
+
+def test_replay_chunked_backward(scenes_dir, monkeypatch):
+    """The lax.map-chunked replay vjp (production path for big ray counts
+    — the packed row gather's transpose needs bounded transients) must
+    produce the same gradients as the unchunked replay, including the
+    ragged-tail padding."""
+    import jax as _jax
+
+    soa, accel, o, d, idx = _setup(scenes_dir, "bunny")  # 288 rays
+    params = extract_params(soa)
+    w = soa.width
+
+    def loss(p):
+        s = with_params(soa, p)
+        o2, d2 = camera_rays(s, idx % w, idx // w)
+        c, _, _ = fused_render_rays(s, accel, o2, d2, 1e-3, 2)
+        return jnp.mean(c ** 2)
+
+    g1 = jax.grad(loss)(params)
+    # chunk=64 -> k=5 chunks of 58 rays + 2 padding rays
+    monkeypatch.setenv("CUTRACE_REPLAY_CHUNK", "64")
+    _jax.clear_caches()
+    try:
+        g2 = jax.grad(loss)(params)
+        for k in g1:
+            # per-chunk accumulation reorders the fp sums: ~1e-5 rel
+            np.testing.assert_allclose(
+                np.asarray(g1[k]), np.asarray(g2[k]),
+                rtol=1e-4, atol=1e-7, err_msg=k)
+    finally:
+        _jax.clear_caches()
