@@ -570,6 +570,7 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
 
             skip_cull = (("nocullo" in ablate and occl)
                          or ("nocull2" in ablate and not occl))
+            interleave = None
             if secondary_cull and not primary and not skip_cull:
                 # In-kernel secondary-cast cull, packed into ceil(M/32)
                 # int32 SMEM words (2 vector->scalar syncs per word; an
@@ -592,11 +593,17 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     hi = jnp.where(jnp.isnan(hi), inf, hi)
                     return lo, hi
 
-                def exact_anyray(ref, n_boxes, at=0):
+                def exact_anyray(ref, n_boxes, at=0, tbound=None,
+                                 alive_=None):
                     """Exact per-ray slab over `n_boxes` boxes of `ref`
                     starting at STATIC column `at`, reduced to the
                     (1, n_boxes) any-alive-ray-touches mask (with the
-                    cast's ldist / t_bound / alive refinements)."""
+                    cast's ldist / t_bound / alive refinements).
+                    `tbound`/`alive_` override the cast-level bounds with
+                    REFRESHED per-ray state (the group-interleaved loop
+                    below tightens them with the evolving bt_s)."""
+                    tbound = t_bound if tbound is None else tbound
+                    alive_ = alive if alive_ is None else alive_
                     sl = slice(at, at + n_boxes)
                     lx, hx = axis_minmax(ref[0:1, sl], ref[3:4, sl],
                                          cox, cdx)
@@ -611,10 +618,10 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     if occl:
                         # boxes entirely beyond the light can't occlude
                         cond &= tmn < ldist
-                    if t_bound is not None:
-                        cond &= tmn <= t_bound  # (tile_r, 1) broadcast
-                    if alive is not None:
-                        cond &= alive  # (tile_r, 1) broadcast
+                    if tbound is not None:
+                        cond &= tmn <= tbound  # (tile_r, 1) broadcast
+                    if alive_ is not None:
+                        cond &= alive_  # (tile_r, 1) broadcast
                     return jnp.max(
                         jnp.where(cond, 1.0, 0.0), axis=0, keepdims=True
                     )  # (1, n_boxes)
@@ -631,32 +638,17 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     # slab-tests the clusters of each SURVIVING group via
                     # a STATIC 128-column slice of the padded table (the
                     # group loop is Python-unrolled, so no dynamic lane
-                    # indexing). The final mask is identical to the full
-                    # exact cull (a cluster hit implies its group's merged
-                    # box is hit), at O(G3 + 128 x |surviving|) instead of
-                    # O(M) vector volume per cast. Packs into bits_s
-                    # words, group word at index 4*g3.
+                    # indexing). Level 2 runs INTERLEAVED with the visit
+                    # loop (group word at bits_s[4*g3]; the per-group
+                    # refresh there tightens each group's cull with the
+                    # evolving per-ray state — see the visit phase).
                     m3 = g3 * 128
                     gany = exact_anyray(aabbg_ref, g3, at=m3)  # (1, G3)
                     laneg = jax.lax.broadcasted_iota(jnp.int32, (1, g3), 1)
                     bits_s[4 * g3] = jnp.sum(jnp.where(
                         gany > 0.0, jnp.int32(1) << (laneg & 31), 0))
-                    for w in range(n_words):
-                        bits_s[w] = 0
-                    for j in range(g3):
-                        @pl.when(((bits_s[4 * g3] >> j) & 1) != 0)
-                        def _(j=j):
-                            anyh = exact_anyray(aabbg_ref, 128,
-                                                at=128 * j)  # (1, 128)
-                            lane = jax.lax.broadcasted_iota(
-                                jnp.int32, (1, 128), 1)
-                            shifted = jnp.int32(1) << (lane & 31)
-                            for w2 in range(4):
-                                in_w = ((lane >= 32 * w2)
-                                        & (lane < 32 * (w2 + 1)))
-                                bits_s[4 * j + w2] = jnp.sum(jnp.where(
-                                    in_w & (anyh > 0.0), shifted, 0))
-                    anyhit = None  # bits_s already packed
+                    anyhit = None  # level 2 deferred to the visit loop
+                    interleave = exact_anyray
                 else:
                     # conservative interval slab: O(M) per cast instead of
                     # O(tile_r * M) — the tile's rays collapse to per-axis
@@ -825,13 +817,15 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     better = (tmin < best_t) | (
                         (tmin == best_t) & (kmin < best_k)
                     )
-                    oneh = ((t == tmin) & (key == kmin)).astype(jnp.float32)
-                    for name, j in attr_cols:
-                        val = jnp.sum(oneh * col(name), axis=1,
-                                      keepdims=True)
-                        at_s[:, j:j + 1] = jnp.where(
-                            better, val, at_s[:, j:j + 1]
-                        )
+                    if "noattr" not in ablate:
+                        oneh = ((t == tmin) & (key == kmin)).astype(
+                            jnp.float32)
+                        for name, j in attr_cols:
+                            val = jnp.sum(oneh * col(name), axis=1,
+                                          keepdims=True)
+                            at_s[:, j:j + 1] = jnp.where(
+                                better, val, at_s[:, j:j + 1]
+                            )
                     bt_s[:] = jnp.where(better, tmin, best_t)
                     bk_s[:] = jnp.where(better, kmin, best_k)
 
@@ -842,6 +836,64 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             )
             if skip_visit:
                 pass
+            elif interleave is not None:
+                # Group-interleaved visits with per-group cull REFRESH:
+                # level 2 of the two-level exact cull runs right before
+                # its group's visits, with the cast-level bound tightened
+                # by the EVOLVING per-ray state — occlusion casts drop
+                # rays already decided by an earlier group's visit
+                # (bt_s flag == 1), nearest casts bound the slab entry by
+                # the best triangle t found so far (equality keeps the
+                # cluster, so the (t, key) tie-break winner set is
+                # unchanged — the same soundness argument as the static
+                # t-bound cull). Zero extra cull volume or scalar syncs
+                # versus the non-interleaved form: the identical per-group
+                # slab tests and word packs, merely ordered after the
+                # previous groups' visits. CUTRACE_ABLATE=norefresh keeps
+                # the interleaving but passes the static bounds (exact
+                # old-mask behavior, for A/B timing).
+                lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                shift128 = jnp.int32(1) << (lane128 & 31)
+                for j in range(g3):
+                    @pl.when(((bits_s[4 * g3] >> j) & 1) != 0)
+                    def _(j=j):
+                        if "norefresh" in ablate:
+                            anyh = interleave(aabbg_ref, 128, at=128 * j)
+                        elif occl:
+                            alive2 = bt_s[:] == 0.0
+                            if alive is not None:
+                                alive2 &= alive
+                            anyh = interleave(aabbg_ref, 128, at=128 * j,
+                                              alive_=alive2)
+                        else:
+                            tb2 = bt_s[:]
+                            if t_bound is not None:
+                                tb2 = jnp.minimum(tb2, t_bound)
+                            anyh = interleave(aabbg_ref, 128, at=128 * j,
+                                              tbound=tb2)
+                        for w2 in range(4):
+                            in_w = ((lane128 >= 32 * w2)
+                                    & (lane128 < 32 * (w2 + 1)))
+                            bits_s[4 * j + w2] = jnp.sum(jnp.where(
+                                in_w & (anyh > 0.0), shift128, 0))
+
+                        def w2body(w2, _):
+                            word2 = bits_s[4 * j + w2]
+
+                            @pl.when(word2 != 0)
+                            def _():
+                                def bbody(b, _):
+                                    @pl.when(((word2 >> b) & 1) != 0)
+                                    def _():
+                                        # padded table columns beyond m
+                                        # never slab-hit, so
+                                        # 128*j + 32*w2 + b < m here
+                                        visit(128 * j + 32 * w2 + b)
+                                    return 0
+                                jax.lax.fori_loop(0, 32, bbody, 0)
+                            return 0
+
+                        jax.lax.fori_loop(0, 4, w2body, 0)
             elif primary or secondary_cull:
                 # Word-skip loop: whole 32-cluster words with an empty
                 # mask are skipped in ONE scalar branch (cull masks are
