@@ -1363,7 +1363,8 @@ _LANES_MAX_M = 32  # bits of one int32 cull word (bit 31 lands via the
 # cluster count the exact per-ray slab test is cheap and tightest; above it
 # the O(M) conservative interval cull wins (tests lower this to exercise
 # the interval path on small scenes).
-_EXACT_CULL_MAX_M = 512
+_EXACT_CULL_MAX_M = int(__import__("os").environ.get(
+    "CUTRACE_EXACT_CULL_MAX_M", 512))
 # Between _EXACT_CULL_MAX_M and this, the sublane kernel's secondary culls
 # run the TWO-LEVEL exact scheme (128-cluster-group slab, then exact
 # per-cluster slabs inside surviving groups via static slices) — identical

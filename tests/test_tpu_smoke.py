@@ -124,3 +124,47 @@ def test_sharded_render_on_chip(scenes_dir):
         a, b = np.asarray(a), np.asarray(b)
         same = (a == b) | (np.isnan(a) & np.isnan(b))
         assert same.all()
+
+
+def test_group_regime_parity_on_chip(scenes_dir):
+    """The big-M sublane path (two-level group-exact cull, interleaved
+    per-word refresh — ops/fused.py group regime, M > _EXACT_CULL_MAX_M)
+    Mosaic-compiled on the chip vs the composable oracle. A 256k-triangle
+    midpoint-subdivided bunny leaves the rendered surface unchanged, and
+    the refresh must be output-invariant: also assert refresh ==
+    norefresh bit-identically (CUTRACE_ABLATE is read at kernel build, so
+    caches are cleared around the flip)."""
+    import os
+
+    from test_fused import _compare
+    from cutrace_tpu.scene.mesh_io import subdivide
+
+    sc = load_scene(scenes_dir / "bunny.json")
+    sc.camera.width, sc.camera.height = 96, 54
+    base = render(prepare(scene_to_soa(sc), accel="none"), bounces=2)
+    for ob in sc.objects:
+        if type(ob).__name__ == "Mesh":
+            ob.vertices = subdivide(ob.vertices, 4)  # 256k tris
+    prepared = prepare(sc, accel="fused")
+    m = prepared.accel.order.shape[0]
+    from cutrace_tpu.ops import fused as _f
+    assert m > _f._EXACT_CULL_MAX_M, f"want the group regime, got M={m}"
+    out = render(prepared, bounces=2)
+    jax.block_until_ready(out)
+    _compare(base, out, atol=2e-4, edge_budget=0.10)
+
+    old = os.environ.get("CUTRACE_ABLATE")
+    os.environ["CUTRACE_ABLATE"] = "norefresh"
+    jax.clear_caches()
+    try:
+        ref = render(prepared, bounces=2)
+        for a, b in zip(out, ref):
+            a, b = np.asarray(a), np.asarray(b)
+            same = (a == b) | (np.isnan(a) & np.isnan(b))
+            assert same.all(), "refresh changed winners"
+    finally:
+        if old is None:
+            os.environ.pop("CUTRACE_ABLATE", None)
+        else:
+            os.environ["CUTRACE_ABLATE"] = old
+        jax.clear_caches()
