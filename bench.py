@@ -37,14 +37,14 @@ try:
 except Exception:
     pass
 
-# Best recorded TPU v5e measurement (round 3, fused lanes kernel +
-# deferred winner attributes): 147.6 Mcasts/s. The dev tunnel's
-# wall-clock weather is ~5 % (a cached binary measured 130.8-137.3
-# across one day at a 137.3 best), surviving even min-of-N
-# timing with the result-cache discipline. The no-regression floor is
-# the BOTTOM of that band (0.94 x best), so vs_baseline < 1.0 means a
-# real regression, not tunnel weather. Update only upward with new bests.
-BASELINE_MCASTS_PER_S = 138.0
+# No-regression floor. RATCHET RULE: floor = 0.94 x the best
+# driver-recorded BENCH_r*.json value (the 0.94 band is the dev tunnel's
+# measured wall-clock weather: a cached binary spanned 130.8-137.3 over
+# one day; min-of-N + the result-cache discipline does not remove it).
+# vs_baseline < 1.0 therefore means a real regression, not weather.
+# Update only upward, every round, from the new best:
+#   round 3 best = 149.6 Mcasts/s (BENCH_r03.json) -> floor 140.6.
+BASELINE_MCASTS_PER_S = 140.6
 
 WIDTH, HEIGHT, BOUNCES = 1920, 1080, 5
 
@@ -87,6 +87,19 @@ def main():
     dt = min(times)
     mcasts = total_casts / dt / 1e6
 
+    # Transparent-scene backward (BASELINE.md configs name transparency
+    # explicitly): sphere_plane at its authored 1080p, bounces 5 — a
+    # 63-node two-branch tree. Records which backward actually ran
+    # (topo_static replay vs the composable fallback); if the fallback
+    # runs, that IS the finding (VERDICT r3 item 5).
+    sc_t = load_scene("scenes/sphere_plane.json")
+    sc_t.camera.width, sc_t.camera.height = WIDTH, HEIGHT
+    prepared_t = prepare(sc_t, accel="fused")
+    total_casts_t = WIDTH * HEIGHT * casts_per_pixel(prepared_t.soa, BOUNCES)
+    grad_t = bench_backward(prepared_t, total_casts_t,
+                            metric="sphere_plane_1080p_grad_step")
+    print(json.dumps(grad_t))
+
     grad = bench_backward(prepared, total_casts)
     print(json.dumps(grad))
     print(
@@ -104,13 +117,13 @@ def main():
     )
 
 
-def bench_backward(prepared, total_casts):
+def bench_backward(prepared, total_casts, metric="bunny_1080p_grad_step"):
     """Full value_and_grad step at the flagship size: fused forward (with
-    topology emission) + cast-free replay backward (ops/replay.py) w.r.t.
-    all differentiable parameter groups. The 30-row code buffer at 1080p is
-    249 MB — inside REPLAY_MAX_CODE_BYTES, so the replay path (not the
-    composable re-render fallback) is what this measures; the "backward"
-    key records which one actually ran."""
+    topology emission) + the fastest supported backward w.r.t. all
+    differentiable parameter groups — the Pallas replay-VJP kernel for
+    opaque scenes (ops/replay_vjp.py), the XLA topology replay
+    (ops/replay.py) otherwise, the composable re-render past replay scope.
+    The "backward" key records which one actually ran."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -127,6 +140,12 @@ def bench_backward(prepared, total_casts):
     order, _ = _block_order(WIDTH, HEIGHT, n_pad)
     idx = jnp.asarray(order)
     replay = bool(replay_supported(soa, accel, BOUNCES, n_rays=n_pad))
+    from cutrace_tpu.ops.replay_vjp import replay_vjp_supported
+
+    backward = (
+        "pallas_vjp" if replay and replay_vjp_supported(soa, BOUNCES)
+        else ("replay" if replay else "composable")
+    )
 
     import jax
 
@@ -159,11 +178,11 @@ def bench_backward(prepared, total_casts):
         times.append(time.perf_counter() - t0)
     dt = min(times)
     return {
-        "metric": "bunny_1080p_grad_step",
+        "metric": metric,
         "value": round(dt, 3),
         "unit": "s/step",
         "mcasts_per_s": round(total_casts / dt / 1e6, 3),
-        "backward": "replay" if replay else "composable",
+        "backward": backward,
     }
 
 

@@ -8,7 +8,7 @@ executions from a result cache) and end every timing with a small
 device_get (block_until_ready can return early through the tunnel).
 
 Usage:
-    python benchmarks/bigscene.py [--levels 4] [--width 960] [--height 540]
+    python -m benchmarks.bigscene [--levels 4] [--width 960] [--height 540]
                                   [--bounces 5] [--iters 3]
 
 levels = midpoint-subdivision rounds (each multiplies triangles 4x):
@@ -19,7 +19,6 @@ import argparse
 import dataclasses
 import json
 import os
-import sys
 import time
 
 import jax
@@ -36,7 +35,6 @@ except Exception:
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
 
 
 def main():

@@ -6,7 +6,7 @@ result cache) and end every timing with a small device_get (the tunnel's
 block_until_ready can return early). Prints one line per scene plus a
 JSON summary. Usage:
 
-    python benchmarks/frames.py [scene ...]   # default: bunny mirror sphere_plane
+    python -m benchmarks.frames [scene ...]   # default: bunny mirror sphere_plane
 """
 
 import dataclasses
@@ -29,7 +29,6 @@ except Exception:
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
 
 BOUNCES = 5
 WIDTH, HEIGHT = 1920, 1080

@@ -11,7 +11,7 @@ dev environment it can only demonstrate the mechanics on the virtual CPU
 mesh (JAX_PLATFORMS=cpu + xla_force_host_platform_device_count=8), where
 "efficiency" reflects host-core contention, not ICI.
 
-Usage: python benchmarks/scaling.py [--width 1920 --height 1080 --bounces 5]
+Usage: python -m benchmarks.scaling [--width 1920 --height 1080 --bounces 5]
 Prints one JSON line per mesh size plus a summary.
 """
 
@@ -20,11 +20,9 @@ from __future__ import annotations
 import argparse
 import json
 import pathlib
-import sys
 import time
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-sys.path.insert(0, str(REPO))
 
 
 def main():

@@ -48,13 +48,39 @@ DIFFERENTIABLE_FIELDS = (
 )
 
 
-def extract_params(soa: SceneArrays) -> Dict[str, jax.Array]:
-    """The differentiable leaves of a scene, as a flat dict."""
-    return {f: getattr(soa, f) for f in DIFFERENTIABLE_FIELDS}
+def extract_params(
+    soa: SceneArrays, camera: str = "raw"
+) -> Dict[str, jax.Array]:
+    """The differentiable leaves of a scene, as a flat dict.
+
+    camera="raw" keeps the authored basis vectors as independent
+    parameters (parity with the schema; fine for everything except
+    optimizing the camera itself). camera="look_at" replaces
+    cam_forward/right/up with the orthonormal-by-construction look-at
+    parameterization (diff/camera.py) — use this when the camera is being
+    optimized (VERDICT r3: raw basis steps skew the projection)."""
+    params = {f: getattr(soa, f) for f in DIFFERENTIABLE_FIELDS}
+    if camera == "look_at":
+        from cutrace_tpu.diff.camera import camera_to_look_at
+
+        for f in ("cam_forward", "cam_right", "cam_up"):
+            del params[f]
+        params.update(camera_to_look_at(soa))
+    elif camera != "raw":
+        raise ValueError(f"camera must be 'raw' or 'look_at': {camera!r}")
+    return params
 
 
 def with_params(soa: SceneArrays, params: Dict[str, jax.Array]) -> SceneArrays:
-    """A scene with its differentiable leaves replaced."""
+    """A scene with its differentiable leaves replaced. Accepts either
+    camera parameterization (raw basis fields, or the look-at dict keys
+    from extract_params(camera="look_at"))."""
+    if "cam_target" in params:
+        from cutrace_tpu.diff.camera import apply_look_at
+
+        cam_keys = ("cam_eye", "cam_target", "cam_up_hint", "cam_scales")
+        soa = apply_look_at(soa, {k: params[k] for k in cam_keys})
+        params = {k: v for k, v in params.items() if k not in cam_keys}
     return dataclasses.replace(soa, **params)
 
 

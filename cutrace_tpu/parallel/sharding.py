@@ -246,6 +246,14 @@ def render_pixels_sharded(soa, mesh: Mesh, idx, bounces: int, fudge,
 
 @functools.partial(jax.jit, static_argnames=("bounces", "mesh", "fudge"))
 def _render_sharded_jit(soa, mesh, fudge, bounces, accel=None):
+    """The compiled multi-chip render step. ZERO collectives by
+    construction (machine-checked: tests/test_hlo.py,
+    tests/test_parallel_fused.py) — on the fused path each device returns
+    its ray shard in BLOCK order and the scanline un-permute happens on
+    the host during image assembly (`render_sharded`), exactly where the
+    reference pays its device->host copy (kernel.hpp:119-125). An
+    in-program global inverse permutation would compile to an
+    image-sized all-gather (caught by the round-4 HLO gate)."""
     n = soa.width * soa.height
     n_tiles = mesh.shape[TILE_AXIS]
     fused_path = (
@@ -255,25 +263,23 @@ def _render_sharded_jit(soa, mesh, fudge, bounces, accel=None):
     )
     if fused_path:
         # Block-coherent pixel order (one kernel tile = one compact image
-        # block), padded so every shard holds whole kernel tiles; the
-        # inverse permutation restores scanline order afterwards.
+        # block), padded so every shard holds whole kernel tiles.
         from cutrace_tpu.ops.fused import TILE_R
         from cutrace_tpu.render.renderer import _block_order
 
         n_pad = _ceil_to(n, n_tiles * TILE_R)
-        order, inverse = _block_order(soa.width, soa.height, n_pad)
+        order, _ = _block_order(soa.width, soa.height, n_pad)
         idx = jnp.asarray(order)
     else:
         n_pad = _ceil_to(n, n_tiles)
         idx = jnp.arange(n_pad, dtype=jnp.int32)
-        inverse = None
     idx = jax.device_put(idx, NamedSharding(mesh, P(TILE_AXIS)))
     color, depth, normal = render_pixels_sharded(
         soa, mesh, idx, bounces, fudge, accel
     )
-    if inverse is not None:
-        inv = jnp.asarray(inverse)
-        color, depth, normal = color[inv], depth[inv], normal[inv]
+    if fused_path:
+        # sharded, block-order, padded — host assembles (render_sharded)
+        return color, depth, normal
     return (
         color[:n].reshape(soa.height, soa.width, 3),
         depth[:n].reshape(soa.height, soa.width),
@@ -303,4 +309,21 @@ def render_sharded(
             scene, mesh, kind=accel.kind, interpret=accel.interpret
         )
     soa = shard_scene(scene, mesh)
-    return _render_sharded_jit(soa, mesh, float(fudge), bounces, accel)
+    out = _render_sharded_jit(soa, mesh, float(fudge), bounces, accel)
+    color, depth, normal = out
+    n = scene.width * scene.height
+    if color.ndim == 3:  # composable path: already assembled in-program
+        return color, depth, normal
+    # Fused path: per-device block-order shards. Assemble on the host
+    # (device_get + scanline un-permute) — the multi-chip analog of the
+    # reference's cudaMemcpy image download (kernel.hpp:119-125); the
+    # compiled render program itself stays collective-free.
+    from cutrace_tpu.render.renderer import _block_order
+
+    _, inverse = _block_order(scene.width, scene.height, color.shape[0])
+    color, depth, normal = (np.asarray(x) for x in (color, depth, normal))
+    return (
+        jnp.asarray(color[inverse][:n].reshape(scene.height, scene.width, 3)),
+        jnp.asarray(depth[inverse][:n].reshape(scene.height, scene.width)),
+        jnp.asarray(normal[inverse][:n].reshape(scene.height, scene.width, 3)),
+    )

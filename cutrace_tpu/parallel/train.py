@@ -87,6 +87,7 @@ def fit(
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 50,
     accel: str = "auto",
+    camera: str = "raw",
 ):
     """Optimize scene parameters to match a target image. Returns
     (params, losses). With `checkpoint_dir`, optimizer state is saved every
@@ -102,7 +103,13 @@ def fit(
     (ops/replay.py) — measured 0.18 s vs 0.675 s per full bunny 480x270
     bounces=5 value_and_grad step on one v5e chip; gradients match the
     composable pipeline's fixed-topology semantics either way
-    (tests/test_replay.py)."""
+    (tests/test_replay.py).
+
+    `camera`: "raw" optimizes the authored basis fields independently;
+    "look_at" optimizes (eye, target, up hint, scales) with the
+    orthonormal basis rebuilt in-trace (diff/camera.py) — required for
+    useful camera recovery (use with param_filter=("cam_eye",
+    "cam_target", ...))."""
     if isinstance(accel, str):
         if accel == "auto":
             on_tpu = jax.default_backend() == "tpu"
@@ -115,7 +122,7 @@ def fit(
     soa = sh.shard_scene(soa, mesh)
     target = jnp.asarray(target, jnp.float32).reshape(-1, 3)
     opt = optax.adam(lr)
-    params = extract_params(soa)
+    params = extract_params(soa, camera=camera)
     state = opt.init(params)
     start = 0
     if checkpoint_dir is not None:

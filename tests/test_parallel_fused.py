@@ -1,0 +1,159 @@
+"""Multi-device coverage of the PRODUCTION fused-kernel path (VERDICT r3
+item 2): tiles-only mesh where every device runs the fused whole-pipeline
+Pallas kernel (ops/fused.py) on its own ray shard, and training runs the
+fused forward + cast-free replay backward (ops/replay.py) per shard with a
+parameter-gradient psum.
+
+Round 3 shipped the code path (parallel/sharding.py:213-232) but the only
+>1-device tests went through the composable pipeline, and nothing asserted
+the fused branch was actually taken (a silent fused_supported fall-through
+would keep those tests green). These tests close that: trace-time proof the
+fused kernel / replay backward ran, compiled-HLO proof the fused sharded
+forward moves zero bytes between devices, and bit-identity against the
+single-device fused render (per-tile arithmetic is device-count invariant).
+
+Runs on the 8-virtual-CPU-device mesh (conftest) with interpret-mode
+kernels — the only way this environment can execute the fused path on >1
+device (the real machine has one chip). Reference anchor: the single-GPU
+launch this mesh replaces, /root/reference/inc/kernel.hpp:103-106.
+"""
+
+import dataclasses
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cutrace_tpu.parallel import make_mesh, render_sharded
+from cutrace_tpu.parallel.sharding import _render_sharded_jit, shard_scene
+from cutrace_tpu.render.renderer import prepare, render
+from cutrace_tpu.scene.loader import load_scene
+from cutrace_tpu.scene.soa import scene_to_soa
+
+_COLLECTIVES = re.compile(
+    r"\b(all-reduce|all-gather|all-to-all|collective-permute"
+    r"|reduce-scatter|collective-broadcast|ragged-all-to-all)\b"
+)
+
+
+@pytest.fixture(scope="module")
+def bunny_prepared(request):
+    sc = load_scene(request.config.rootpath / "scenes" / "bunny.json")
+    sc.camera.width, sc.camera.height = 32, 16
+    return prepare(scene_to_soa(sc), accel="fused")
+
+
+def _count_calls(monkeypatch, module, name):
+    """Wrap module.name with a trace-time call counter."""
+    calls = []
+    orig = getattr(module, name)
+
+    def wrapper(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(module, name, wrapper)
+    return calls
+
+
+def test_sharded_fused_kernel_actually_runs_and_is_bit_identical(
+    bunny_prepared, monkeypatch
+):
+    """The tiles-only mesh render takes the fused-kernel branch (trace-time
+    proof — not a silent composable fall-through) and its output is
+    BIT-identical to the single-device fused render: per-tile kernel
+    arithmetic is device-count invariant, so sharding the tile set must
+    change nothing."""
+    from cutrace_tpu.ops import fused as F
+
+    ref = render(bunny_prepared, bounces=2)  # single-device fused
+
+    calls = _count_calls(monkeypatch, F, "fused_render_rays")
+    out = render_sharded(bunny_prepared, make_mesh(8, 1), bounces=2)
+    assert calls, "mesh render did not trace the fused kernel path"
+
+    for a, b, name in zip(ref, out, ("color", "depth", "normal")):
+        a, b = np.asarray(a), np.asarray(b)
+        same = (a == b) | (np.isinf(a) & np.isinf(b))
+        assert same.all(), (
+            f"{name}: {(~same).sum()} pixels differ from single-device fused"
+        )
+
+
+def test_sharded_fused_forward_hlo_zero_collectives(bunny_prepared):
+    """The compiled 8-device fused sharded forward contains ZERO collective
+    ops — the production multi-chip render config is communication-free by
+    construction (the zero-collective property test_hlo.py proves for the
+    composable paths, asserted here for the fused kernel path)."""
+    soa = shard_scene(bunny_prepared.soa, make_mesh(8, 1))
+    txt = _render_sharded_jit.lower(
+        soa, make_mesh(8, 1), 1e-3, 2, bunny_prepared.accel
+    ).compile().as_text()
+    found = sorted(set(_COLLECTIVES.findall(txt)))
+    assert found == [], f"fused sharded forward HLO has collectives: {found}"
+
+
+@pytest.mark.slow
+def test_sharded_fused_train_step_uses_replay_backward(
+    bunny_prepared, monkeypatch
+):
+    """The distributed train step with a fused accel traces the fused
+    forward AND the cast-free replay backward per shard (the production
+    multi-chip training config), its only collective is the parameter
+    psum, and its gradients match the single-device fused grad step."""
+    import optax
+
+    from cutrace_tpu.diff.grad import extract_params, with_params
+    from cutrace_tpu.ops import fused as F, replay as R
+    from cutrace_tpu.parallel.train import make_train_step
+
+    soa0 = bunny_prepared.soa
+    accel = bunny_prepared.accel
+    assert F.replay_supported(soa0, accel, 2, n_rays=512)
+
+    mesh = make_mesh(8, 1)
+    soa = shard_scene(soa0, mesh)
+    params = extract_params(soa)
+    opt = optax.sgd(0.0)  # lr 0: step returns grads' effect only via loss
+    state = opt.init(params)
+    n = soa.width * soa.height
+    tgt = jnp.zeros((n, 3), jnp.float32)
+
+    fused_calls = _count_calls(monkeypatch, F, "fused_render_rays")
+    replay_calls = _count_calls(monkeypatch, R, "replay_render_rays")
+    step = make_train_step(mesh, opt, bounces=2, accel=accel)
+    lowered = step.lower(params, state, soa, tgt)
+    assert fused_calls, "train step did not trace the fused forward"
+    assert replay_calls, "train step did not trace the replay backward"
+
+    txt = lowered.compile().as_text()
+    kinds = set(_COLLECTIVES.findall(txt))
+    assert kinds <= {"all-reduce"}, f"unexpected collectives: {kinds}"
+
+    _, _, loss = step(params, state, soa, tgt)
+    assert np.isfinite(float(loss))
+
+    # gradient parity vs the single-device fused+replay value_and_grad
+    def loss_1dev(p):
+        s = with_params(soa0, p)
+        from cutrace_tpu.render.renderer import camera_rays
+
+        idx = jnp.arange(n, dtype=jnp.int32)
+        o, d = camera_rays(s, idx % s.width, idx // s.width)
+        c, _, _ = F.fused_render_rays(s, accel, o, d, 1e-3, 2)
+        return jnp.mean((c - tgt) ** 2)
+
+    g1 = jax.grad(loss_1dev)(extract_params(soa0))
+
+    from cutrace_tpu.parallel.train import sharded_loss
+
+    g8 = jax.jit(
+        lambda p, s, t: jax.grad(sharded_loss)(p, s, mesh, t, 2, 1e-3, accel)
+    )(params, soa, tgt)
+    for k in g1:
+        a, b = np.asarray(g1[k]), np.asarray(g8[k])
+        assert np.allclose(a, b, atol=1e-5, rtol=1e-4), (
+            f"grad[{k}] differs between 1-device and 8-device fused+replay"
+        )

@@ -1,0 +1,177 @@
+"""Parity gates for the Pallas replay-VJP kernel (ops/replay_vjp.py): its
+hand-derived adjoints must match jax.vjp of the XLA replay
+(ops/replay.py) — same math, same guards, association-level fp noise only.
+
+Runs in interpret mode on CPU (conftest); the on-chip compiled run is in
+tests/test_tpu_smoke.py."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cutrace_tpu.ops.fused import TILE_R, _fused_forward, fused_render_rays
+from cutrace_tpu.ops.replay import replay_render_rays
+from cutrace_tpu.ops.replay_vjp import replay_vjp, replay_vjp_supported
+from cutrace_tpu.render.renderer import camera_rays, prepare
+from cutrace_tpu.scene.loader import load_scene
+from cutrace_tpu.scene.soa import scene_to_soa
+
+
+def _prep(scenes_dir_or_path, name=None, w=64, h=32):
+    if name is None:
+        sc = load_scene(scenes_dir_or_path)
+    else:
+        sc = load_scene(scenes_dir_or_path / name)
+    sc.camera.width, sc.camera.height = w, h
+    return prepare(scene_to_soa(sc), accel="fused")
+
+
+def _codes_and_rays(prepared, bounces, fudge=1e-3):
+    soa = prepared.soa
+    n = soa.width * soa.height
+    idx = jnp.arange(n, dtype=jnp.int32)
+    o, d = camera_rays(soa, idx % soa.width, idx // soa.width)
+    _, _, _, codes = _fused_forward(
+        soa, prepared.accel, o, d, fudge, bounces, emit_topo=True
+    )
+    return o, d, codes
+
+
+def _compare(prepared, bounces, seed=0, rtol=2e-3):
+    """Kernel grads vs jax.vjp(replay_render_rays) on random cotangents."""
+    soa = prepared.soa
+    assert replay_vjp_supported(soa, bounces)
+    fudge = 1e-3
+    o, d, codes = _codes_and_rays(prepared, bounces, fudge)
+    r = o.shape[0]
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    cot = (jax.random.normal(k0, (r, 3), jnp.float32),
+           jax.random.normal(k1, (r,), jnp.float32),
+           jax.random.normal(k2, (r, 3), jnp.float32))
+    # depth cotangent only where finite depth (the loss never reads the
+    # +inf miss pixels; an fp-inf cotangent path is out of scope for both
+    # backends): zero it on misses like a masked depth loss would.
+    _, dep, _ = replay_render_rays(soa, o, d, codes,
+                                   jnp.float32(fudge), bounces)
+    cot = (cot[0], jnp.where(jnp.isfinite(dep), cot[1], 0.0), cot[2])
+
+    _, vjp = jax.vjp(
+        lambda s, oo, dd: replay_render_rays(
+            s, oo, dd, codes, jnp.float32(fudge), bounces),
+        soa, o, d,
+    )
+    ref_soa, ref_o, ref_d = vjp(cot)
+    got_soa, got_o, got_d = replay_vjp(
+        soa, o, d, codes, cot, fudge, bounces, interpret=True
+    )
+
+    def check(name, a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = max(np.abs(a).max(), np.abs(b).max(), 1e-12)
+        ok = np.isclose(a, b, rtol=rtol, atol=rtol * scale)
+        assert ok.all(), (
+            f"{name}: {(~ok).sum()}/{a.size} mismatch, "
+            f"max |diff| {np.abs(a - b).max():.3e} at scale {scale:.3e}"
+        )
+
+    from cutrace_tpu.diff.grad import DIFFERENTIABLE_FIELDS
+
+    for f in DIFFERENTIABLE_FIELDS:
+        if f.startswith("cam_"):
+            continue  # camera grads flow via (o, d), not soa leaves
+        check(f, getattr(ref_soa, f), getattr(got_soa, f))
+    check("o", ref_o, got_o)
+    check("d", ref_d, got_d)
+
+
+def test_kernel_vjp_parity_bunny(scenes_dir):
+    """Triangles + planes + 4 point lights + reflection chain."""
+    _compare(_prep(scenes_dir, "bunny.json", 32, 16), bounces=2)
+
+
+def test_kernel_vjp_parity_triangle(scenes_dir):
+    """Single node (no reflective material), sun light."""
+    _compare(_prep(scenes_dir, "triangle.json", 24, 24), bounces=2)
+
+
+@pytest.mark.slow
+def test_kernel_vjp_parity_mirror(scenes_dir):
+    """Near-unit reflectance chain (reflect 0.999), 2 point lights."""
+    _compare(_prep(scenes_dir, "mirror.json", 32, 16), bounces=2)
+
+
+@pytest.fixture
+def opaque_spheres(tmp_path):
+    """Opaque scene with spheres (sphere_plane is transparent and out of
+    kernel scope): covers the sphere t / normal / radius adjoints."""
+    scene = {
+        "camera": {"eye": [0, 1, -5], "up": [0, 1, 0], "look": [0, 1, 0],
+                   "width": 32, "height": 16, "ambient": 0.05},
+        "materials": [
+            {"type": "solid", "color": [1.0, 0.7, 0.2], "specular": 0.8,
+             "reflect": 0.3, "phong": 50},
+            {"type": "solid", "color": [0.2, 0.3, 0.8], "specular": 0.1,
+             "reflect": 0.5, "phong": 20},
+        ],
+        "lights": [
+            {"type": "sun", "direction": [-1, -1, 1],
+             "color": [0.8, 0.8, 0.8]},
+            {"type": "point", "point": [-10, 20, 10],
+             "color": [0.8, 0.8, 0.8]},
+        ],
+        "objects": [
+            {"type": "sphere", "material": 0, "center": [0, 1, 0],
+             "radius": 0.8},
+            {"type": "sphere", "material": 0, "center": [1.4, 0.3, 0.5],
+             "radius": 0.5},
+            {"type": "plane", "material": 1, "point": [0, -0.5, 0],
+             "normal": [0, 1, 0]},
+        ],
+    }
+    p = tmp_path / "opaque_spheres.json"
+    p.write_text(json.dumps(scene))
+    return p
+
+
+@pytest.mark.slow
+def test_kernel_vjp_parity_spheres(opaque_spheres):
+    _compare(_prep(opaque_spheres), bounces=2)
+
+
+@pytest.mark.slow
+def test_end_to_end_grad_step_uses_kernel(scenes_dir, monkeypatch):
+    """Full value_and_grad through fused_render_rays: the kernel branch
+    (default) must give the same gradients as the XLA replay branch
+    (CUTRACE_REPLAY_VJP=0), through the custom_vjp integration incl. ray
+    padding and the camera chain."""
+    from cutrace_tpu.diff.grad import extract_params, with_params
+
+    prepared = _prep(scenes_dir, "bunny.json", 32, 16)
+    soa, accel = prepared.soa, prepared.accel
+    n = soa.width * soa.height
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def loss(params):
+        s = with_params(soa, params)
+        o, d = camera_rays(s, idx % s.width, idx // s.width)
+        c, dep, nrm = fused_render_rays(s, accel, o, d, 1e-3, 2)
+        return (jnp.mean(c) + jnp.mean(jnp.where(jnp.isfinite(dep), dep, 0))
+                + jnp.mean(nrm))
+
+    params = extract_params(soa)
+    monkeypatch.setenv("CUTRACE_REPLAY_VJP", "0")
+    ref = jax.grad(lambda p: loss(p) * 1.0)(params)
+    monkeypatch.delenv("CUTRACE_REPLAY_VJP")
+    got = jax.grad(lambda p: loss(p) + 0.0)(params)
+
+    for k in params:
+        a, b = np.asarray(ref[k], np.float64), np.asarray(got[k], np.float64)
+        scale = max(np.abs(a).max(), 1e-12)
+        ok = np.isclose(a, b, rtol=2e-3, atol=2e-3 * scale)
+        assert ok.all(), (
+            f"grad[{k}]: max |diff| {np.abs(a - b).max():.3e} "
+            f"(scale {scale:.3e})"
+        )
