@@ -89,19 +89,54 @@ def main():
 
     # Transparent-scene backward (BASELINE.md configs name transparency
     # explicitly): sphere_plane at its authored 1080p, bounces 5 — a
-    # 63-node two-branch tree. Records which backward actually ran
-    # (topo_static replay vs the composable fallback); if the fallback
-    # runs, that IS the finding (VERDICT r3 item 5).
-    sc_t = load_scene("scenes/sphere_plane.json")
-    sc_t.camera.width, sc_t.camera.height = WIDTH, HEIGHT
-    prepared_t = prepare(sc_t, accel="fused")
-    total_casts_t = WIDTH * HEIGHT * casts_per_pixel(prepared_t.soa, BOUNCES)
-    grad_t = bench_backward(prepared_t, total_casts_t,
-                            metric="sphere_plane_1080p_grad_step")
-    print(json.dumps(grad_t))
+    # 63-node two-branch tree whose 441 replay rows overflow the code-
+    # buffer budget, so the COMPOSABLE backward runs; recording that (and
+    # its cost) IS the finding (VERDICT r3 item 5). Guarded in a
+    # subprocess: a pathological compile must degrade to a recorded
+    # timeout line, never kill the bunny artifact below.
+    print(json.dumps(_transparent_grad_line()))
 
     grad = bench_backward(prepared, total_casts)
     print(json.dumps(grad))
+
+
+def _transparent_grad_line(timeout_s=2400):
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, __file__, "sphere_plane_grad"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                row = json.loads(line)
+                if row.get("metric") == "sphere_plane_1080p_grad_step":
+                    return row
+            except (json.JSONDecodeError, AttributeError):
+                continue
+        return {"metric": "sphere_plane_1080p_grad_step",
+                "status": f"failed rc={r.returncode}",
+                "tail": (r.stderr or "")[-300:]}
+    except subprocess.TimeoutExpired:
+        return {"metric": "sphere_plane_1080p_grad_step",
+                "status": f"timeout>{timeout_s}s",
+                "backward": "composable"}
+
+
+def sphere_plane_grad_main():
+    """Subprocess entry: just the transparent-backward metric."""
+    from cutrace_tpu.render.renderer import prepare
+    from cutrace_tpu.scene.loader import load_scene
+    from cutrace_tpu.utils.profiling import casts_per_pixel
+
+    sc = load_scene("scenes/sphere_plane.json")
+    sc.camera.width, sc.camera.height = WIDTH, HEIGHT
+    prepared = prepare(sc, accel="fused")
+    total = WIDTH * HEIGHT * casts_per_pixel(prepared.soa, BOUNCES)
+    print(json.dumps(bench_backward(
+        prepared, total, metric="sphere_plane_1080p_grad_step")))
     print(
         json.dumps(
             {
@@ -187,4 +222,9 @@ def bench_backward(prepared, total_casts, metric="bunny_1080p_grad_step"):
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if len(_sys.argv) > 1 and _sys.argv[1] == "sphere_plane_grad":
+        sphere_plane_grad_main()
+    else:
+        main()

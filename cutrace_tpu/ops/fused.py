@@ -406,6 +406,10 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
 
     ablate = set(filter(None, _os_ab.environ.get(
         "CUTRACE_ABLATE", "").split(",")))
+    # near-to-far ordered group visits: opt-in negative result (see the
+    # group-rank block below for the A/B numbers)
+    group_order = ("noorder" not in ablate
+                   and _os_ab.environ.get("CUTRACE_GROUP_ORDER") == "1")
 
     # Hierarchical secondary cull (third hierarchy level): the exact
     # per-word supercluster slab AUGMENTS the interval per-cluster cull in
@@ -594,14 +598,17 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     return lo, hi
 
                 def exact_anyray(ref, n_boxes, at=0, tbound=None,
-                                 alive_=None):
+                                 alive_=None, want_entry=False):
                     """Exact per-ray slab over `n_boxes` boxes of `ref`
                     starting at STATIC column `at`, reduced to the
                     (1, n_boxes) any-alive-ray-touches mask (with the
                     cast's ldist / t_bound / alive refinements).
                     `tbound`/`alive_` override the cast-level bounds with
                     REFRESHED per-ray state (the group-interleaved loop
-                    below tightens them with the evolving bt_s)."""
+                    below tightens them with the evolving bt_s).
+                    `want_entry` also returns the per-box MIN slab entry
+                    over the passing rays ((1, n_boxes), +inf where none)
+                    — the near-to-far group ordering key."""
                     tbound = t_bound if tbound is None else tbound
                     alive_ = alive if alive_ is None else alive_
                     sl = slice(at, at + n_boxes)
@@ -622,9 +629,16 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                         cond &= tmn <= tbound  # (tile_r, 1) broadcast
                     if alive_ is not None:
                         cond &= alive_  # (tile_r, 1) broadcast
-                    return jnp.max(
+                    anym = jnp.max(
                         jnp.where(cond, 1.0, 0.0), axis=0, keepdims=True
                     )  # (1, n_boxes)
+                    if want_entry:
+                        entry = jnp.min(
+                            jnp.where(cond, tmn, inf), axis=0,
+                            keepdims=True,
+                        )
+                        return anym, entry
+                    return anym
 
                 g3 = -(-m // 128)
                 if m <= _EXACT_CULL_MAX_M:
@@ -643,10 +657,55 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                     # refresh there tightens each group's cull with the
                     # evolving per-ray state — see the visit phase).
                     m3 = g3 * 128
-                    gany = exact_anyray(aabbg_ref, g3, at=m3)  # (1, G3)
+                    gany, gentry = exact_anyray(aabbg_ref, g3, at=m3,
+                                                want_entry=True)  # (1, G3)
                     laneg = jax.lax.broadcasted_iota(jnp.int32, (1, g3), 1)
                     bits_s[4 * g3] = jnp.sum(jnp.where(
                         gany > 0.0, jnp.int32(1) << (laneg & 31), 0))
+                    if group_order:
+                        # NEAR-TO-FAR group ranks: visiting groups in
+                        # ascending slab-entry order maximizes what the
+                        # per-group cull refresh can prune (the best-t /
+                        # decided flags established by near groups empty
+                        # far groups' level-2 masks). Rank extraction is
+                        # vector-only (no scalar syncs): g3 static rounds
+                        # of min-entry selection with index tie-break,
+                        # then ranks pack 8-bit into SMEM words (one
+                        # vector->scalar sync per 4 groups). Output-
+                        # invariant: the visit SET a refresh prunes is
+                        # already proven winner-preserving; order changes
+                        # only which prunes fire.
+                        #
+                        # OPT-IN (CUTRACE_GROUP_ORDER=1): measured a NET
+                        # LOSS at the 256k flagship (round 4 A/B, same
+                        # session: 1.365 s ordered vs 1.117 s static at
+                        # 960x540 b5) — the per-cast rank work plus the
+                        # pass-loop's g3^2 scalar guards cost more than
+                        # the extra prunes win; the per-group refresh
+                        # already converges under static order at these
+                        # group counts. Kept as the documented negative
+                        # result (same fate as round 3's per-ray ordered
+                        # visits), bit-identical by construction
+                        # (tests/test_fused.py multi-group parity).
+                        identry = jnp.where(gany > 0.0, gentry, inf)
+                        rank = jnp.full((1, g3), -1, jnp.int32)
+                        remaining = gany > 0.0
+                        for p in range(g3):
+                            cur = jnp.min(jnp.where(remaining, identry,
+                                                    inf),
+                                          axis=1, keepdims=True)
+                            sel = remaining & (identry == cur)
+                            firsti = jnp.min(
+                                jnp.where(sel, laneg, _BIG),
+                                axis=1, keepdims=True)
+                            sel = sel & (laneg == firsti)
+                            rank = jnp.where(sel, p, rank)
+                            remaining = remaining & ~sel
+                        rank_u = jnp.where(rank < 0, 0, rank)
+                        for w in range(-(-g3 // 4)):
+                            in_w = (laneg >= 4 * w) & (laneg < 4 * (w + 1))
+                            bits_s[4 * g3 + 1 + w] = jnp.sum(jnp.where(
+                                in_w, rank_u << ((laneg & 3) * 8), 0))
                     anyhit = None  # level 2 deferred to the visit loop
                     interleave = exact_anyray
                 else:
@@ -854,46 +913,75 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 # old-mask behavior, for A/B timing).
                 lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
                 shift128 = jnp.int32(1) << (lane128 & 31)
-                for j in range(g3):
-                    @pl.when(((bits_s[4 * g3] >> j) & 1) != 0)
-                    def _(j=j):
-                        if "norefresh" in ablate:
-                            anyh = interleave(aabbg_ref, 128, at=128 * j)
-                        elif occl:
-                            alive2 = bt_s[:] == 0.0
-                            if alive is not None:
-                                alive2 &= alive
-                            anyh = interleave(aabbg_ref, 128, at=128 * j,
-                                              alive_=alive2)
-                        else:
-                            tb2 = bt_s[:]
-                            if t_bound is not None:
-                                tb2 = jnp.minimum(tb2, t_bound)
-                            anyh = interleave(aabbg_ref, 128, at=128 * j,
-                                              tbound=tb2)
-                        for w2 in range(4):
-                            in_w = ((lane128 >= 32 * w2)
-                                    & (lane128 < 32 * (w2 + 1)))
-                            bits_s[4 * j + w2] = jnp.sum(jnp.where(
-                                in_w & (anyh > 0.0), shift128, 0))
 
-                        def w2body(w2, _):
-                            word2 = bits_s[4 * j + w2]
+                def group_body(j):
+                    """Level-2 exact cull + visits for STATIC group j
+                    (static 128-column slice — Mosaic cannot dynamically
+                    index the lane dimension), bounds refreshed from the
+                    evolving per-ray state."""
+                    if "norefresh" in ablate:
+                        anyh = interleave(aabbg_ref, 128, at=128 * j)
+                    elif occl:
+                        alive2 = bt_s[:] == 0.0
+                        if alive is not None:
+                            alive2 &= alive
+                        anyh = interleave(aabbg_ref, 128, at=128 * j,
+                                          alive_=alive2)
+                    else:
+                        tb2 = bt_s[:]
+                        if t_bound is not None:
+                            tb2 = jnp.minimum(tb2, t_bound)
+                        anyh = interleave(aabbg_ref, 128, at=128 * j,
+                                          tbound=tb2)
+                    for w2 in range(4):
+                        in_w = ((lane128 >= 32 * w2)
+                                & (lane128 < 32 * (w2 + 1)))
+                        bits_s[4 * j + w2] = jnp.sum(jnp.where(
+                            in_w & (anyh > 0.0), shift128, 0))
 
-                            @pl.when(word2 != 0)
-                            def _():
-                                def bbody(b, _):
-                                    @pl.when(((word2 >> b) & 1) != 0)
-                                    def _():
-                                        # padded table columns beyond m
-                                        # never slab-hit, so
-                                        # 128*j + 32*w2 + b < m here
-                                        visit(128 * j + 32 * w2 + b)
-                                    return 0
-                                jax.lax.fori_loop(0, 32, bbody, 0)
-                            return 0
+                    def w2body(w2, _):
+                        word2 = bits_s[4 * j + w2]
 
-                        jax.lax.fori_loop(0, 4, w2body, 0)
+                        @pl.when(word2 != 0)
+                        def _():
+                            def bbody(b, _):
+                                @pl.when(((word2 >> b) & 1) != 0)
+                                def _():
+                                    # padded table columns beyond m
+                                    # never slab-hit, so
+                                    # 128*j + 32*w2 + b < m here
+                                    visit(128 * j + 32 * w2 + b)
+                                return 0
+                            jax.lax.fori_loop(0, 32, bbody, 0)
+                        return 0
+
+                    jax.lax.fori_loop(0, 4, w2body, 0)
+
+                if not group_order:
+                    # static index order (the measured default)
+                    for j in range(g3):
+                        @pl.when(((bits_s[4 * g3] >> j) & 1) != 0)
+                        def _(j=j):
+                            group_body(j)
+                else:
+                    # Near-to-far: pass p runs the group ranked p by slab
+                    # entry. One fori over passes keeps program size at
+                    # g3 bodies (each group's body traces once; the rank
+                    # guards are scalar SMEM reads).
+                    def pass_body(p, _):
+                        for j in range(g3):
+                            rk = (bits_s[4 * g3 + 1 + j // 4]
+                                  >> ((j % 4) * 8)) & 255
+
+                            @pl.when(
+                                (((bits_s[4 * g3] >> j) & 1) != 0)
+                                & (rk == p)
+                            )
+                            def _(j=j):
+                                group_body(j)
+                        return 0
+
+                    jax.lax.fori_loop(0, g3, pass_body, 0)
             elif primary or secondary_cull:
                 # Word-skip loop: whole 32-cluster words with an empty
                 # mask are skipped in ONE scalar branch (cull masks are
@@ -2307,7 +2395,9 @@ def _run_fused(tables, aabb, aabb2, aabbg, mat_tab, plane, sphere,
         pltpu.VMEM((tile_r, 8 * (bounces + 1)), jnp.float32),
         # secondary cull bits: ceil(m3/32) cluster words (m3 = m
         # padded to the group-exact branch's 128 multiple) + 1 group word
-        pltpu.SMEM((4 * (-(-m // 128)) + 1,), jnp.int32),
+        # + ceil(G3/4) packed 8-bit near-to-far group-rank words
+        pltpu.SMEM((4 * (-(-m // 128)) + 1 + (-(-(-(-m // 128)) // 4)),),
+                   jnp.int32),
     ]
     if hbm:
         scratch += [

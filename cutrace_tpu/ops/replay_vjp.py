@@ -167,7 +167,7 @@ def _make_replay_vjp_kernel(n_tab, t_cnt, p_cnt, s_cnt, n_lights, bounces,
     grows (_C_PAD, tile_r)."""
 
     def kernel(rays_ref, codes_ref, cot_ref, tbl_ref, lights_ref, scal_ref,
-               drays_ref, dtbl_ref, dmisc_ref, odw_s, grows_s):
+               drays_ref, dtbl_ref, dmisc_ref, odw_s, grows_s, rows_s):
         i = pl.program_id(0)
         ambient = scal_ref[0, 0]
         fudge = scal_ref[0, 1]
@@ -326,11 +326,16 @@ def _make_replay_vjp_kernel(n_tab, t_cnt, p_cnt, s_cnt, n_lights, bounces,
             odw_s[base + 5:base + 6, :] = d3[2]
             odw_s[base + 6:base + 7, :] = w
             odw_s[base + 7:base + 8, :] = mind
-            if k == n_nodes - 1:
-                break
+            # winner rows stored for the reverse sweep (saves one gather
+            # contraction per node there — masks regenerate cheaply, row
+            # GATHERS are the MXU cost)
             _, cast_row, _ = topo_nodes[k]
             code = codes_ref[cast_row:cast_row + 1, :]
-            g = node_geom(gather_rows(onehot(code)), code, o3, d3, mind)
+            rows = gather_rows(onehot(code))
+            rows_s[_C_PAD * k:_C_PAD * (k + 1), :] = rows
+            if k == n_nodes - 1:
+                break
+            g = node_geom(rows, code, o3, d3, mind)
             # child frame (replay do_node): reflection chain only
             r = jnp.where(g["hit"] & (g["refl"] >= _EPS), g["refl"], 0.0)
             child_o = _add3(o3, _scale3(d3, g["t_safe"]))
@@ -357,7 +362,8 @@ def _make_replay_vjp_kernel(n_tab, t_cnt, p_cnt, s_cnt, n_lights, bounces,
             _, cast_row, shadow_base = topo_nodes[k]
             code = codes_ref[cast_row:cast_row + 1, :]
             mask = onehot(code)
-            g = node_geom(gather_rows(mask), code, o3, d3, mind)
+            g = node_geom(rows_s[_C_PAD * k:_C_PAD * (k + 1), :],
+                          code, o3, d3, mind)
             hit = g["hit"]
             nn3 = g["nn3"]
             nd3 = g["nd3"]
@@ -756,6 +762,7 @@ def _run_replay_vjp(rays, codes_t, cot, tbl_t, lights, scalars,
         scratch_shapes=[
             pltpu.VMEM((8 * max(1, n_nodes), TILE_R), jnp.float32),
             pltpu.VMEM((_C_PAD, TILE_R), jnp.float32),
+            pltpu.VMEM((_C_PAD * max(1, n_nodes), TILE_R), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=params,

@@ -305,3 +305,41 @@ def test_fused_supercluster_cull_parity(scenes_dir, monkeypatch):
         _compare(base, out, atol=2e-4, edge_budget=0.10)
     finally:
         _jax.clear_caches()
+
+
+def test_fused_group_ordering_multi_group_parity(scenes_dir, monkeypatch):
+    """The near-to-far ORDERED group visits (round 4, OPT-IN via
+    CUTRACE_GROUP_ORDER=1 — measured a net loss at the 256k flagship, see
+    the negative-results log) must be output-invariant with >= 2 real
+    groups — order changes only which per-ray prunes fire, never the
+    (t, key) winner. Forced multi-group here via a tiny cluster size
+    (mirror: 924 tris / C=4 -> M=231 -> G3=2 groups); bounces=2 exercises
+    nearest AND occlusion secondary casts through the ordered loop, and
+    the default static order must match bit-exactly."""
+    import jax as _jax
+
+    from cutrace_tpu.ops import fused
+    from cutrace_tpu.render.renderer import PreparedScene
+
+    monkeypatch.setattr(fused, "_EXACT_CULL_MAX_M", 16)
+    soa = _load(scenes_dir, "mirror.json", 32, 18)
+    accel = bvh.build_accel(soa, 4, kind="fused", interpret=True)
+    m = accel.order.shape[0]
+    assert -(-m // 128) >= 2, f"want >= 2 groups, got M={m}"
+    base = render(prepare(soa, accel="none"), bounces=2)
+    monkeypatch.setenv("CUTRACE_GROUP_ORDER", "1")
+    _jax.clear_caches()
+    try:
+        out = render(PreparedScene(soa=soa, accel=accel), bounces=2)
+        _compare(base, out, atol=2e-4)
+    finally:
+        monkeypatch.delenv("CUTRACE_GROUP_ORDER")
+        _jax.clear_caches()
+
+    # ordered vs the default static order: bit-identical
+    out2 = render(PreparedScene(soa=soa, accel=accel), bounces=2)
+    for a, b in zip(out, out2):
+        a, b = np.asarray(a), np.asarray(b)
+        same = (a == b) | (np.isinf(a) & np.isinf(b))
+        assert same.all(), f"{(~same).sum()} pixels differ vs static order"
+    _jax.clear_caches()

@@ -168,3 +168,47 @@ def test_group_regime_parity_on_chip(scenes_dir):
         else:
             os.environ["CUTRACE_ABLATE"] = old
         jax.clear_caches()
+
+
+def test_pallas_vjp_grad_parity_on_chip(scenes_dir):
+    """The Mosaic-compiled Pallas replay-VJP kernel (ops/replay_vjp.py,
+    the round-4 backward) == the XLA replay backward on chip. Interpret
+    mode provably misses Mosaic-only failures (module docstring) and this
+    kernel is new this round — the one-hot MXU contractions, SMEM scalar
+    reads, and VMEM accumulation all compile differently on hardware."""
+    import os
+
+    from cutrace_tpu.ops.replay_vjp import replay_vjp_supported
+
+    sc = load_scene(scenes_dir / "bunny.json")
+    sc.camera.width, sc.camera.height = 64, 36
+    prepared = prepare(sc, accel="fused")
+    soa, accel = prepared.soa, prepared.accel
+    bounces = 3
+    assert replay_vjp_supported(soa, bounces)
+    idx = jnp.arange(64 * 36, dtype=jnp.int32)
+    o, d = camera_rays(soa, idx % 64, idx // 64)
+    params = extract_params(soa)
+    tgt, _, _ = fused_render_rays(soa, accel, o, d, 1e-3, bounces)
+    tgt = jax.lax.stop_gradient(tgt) * 0.9
+
+    def loss(p, marker):
+        s = with_params(soa, p)
+        o2, d2 = camera_rays(s, idx % 64, idx // 64)
+        c, _, _ = fused_render_rays(s, accel, o2, d2, 1e-3, bounces)
+        return jnp.mean((c - tgt) ** 2) + 0.0 * marker
+
+    g_kernel = jax.jit(jax.grad(lambda p: loss(p, 1.0)))(params)
+    os.environ["CUTRACE_REPLAY_VJP"] = "0"
+    jax.clear_caches()
+    try:
+        g_xla = jax.jit(jax.grad(lambda p: loss(p, 2.0)))(params)
+    finally:
+        os.environ.pop("CUTRACE_REPLAY_VJP", None)
+        jax.clear_caches()
+    for k in g_kernel:
+        a, b = np.asarray(g_kernel[k]), np.asarray(g_xla[k])
+        assert np.isfinite(a).all(), k
+        scale = max(np.abs(b).max(), 1e-6)
+        err = np.abs(a - b).max() / scale
+        assert err < 5e-4, f"{k}: rel err {err:.3e}"
