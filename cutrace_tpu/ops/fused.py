@@ -2707,6 +2707,34 @@ def replay_supported(soa, accel, bounces: int, n_rays: int = 0) -> bool:
     return rows * max(n_rays, 1) * 4 <= REPLAY_MAX_CODE_BYTES
 
 
+def _chunked_rays(fn, chunk, *arrays_with_fill):
+    """Run a per-ray pipeline in ray chunks under lax.map: bounds every
+    (rays x nodes) transient — and, under jax.vjp, its transpose — to one
+    chunk, while parameter cotangents accumulate across chunks. Each
+    argument is (array, pad_fill) with a shared leading ray dim; returns
+    fn's (color, depth, normal) for all rays."""
+    r0 = arrays_with_fill[0][0].shape[0]
+    k = -(-r0 // chunk)
+    if k <= 1:
+        return fn(*[a for a, _ in arrays_with_fill])
+    ch = -(-r0 // k)
+    pad = k * ch - r0
+
+    def p(x, fill):
+        if not pad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+
+    stacked = tuple(
+        p(a, fill).reshape((k, ch) + a.shape[1:])
+        for a, fill in arrays_with_fill
+    )
+    c, dep, nrm = jax.lax.map(lambda xs: fn(*xs), stacked)
+    return (c.reshape(k * ch, 3)[:r0], dep.reshape(k * ch)[:r0],
+            nrm.reshape(k * ch, 3)[:r0])
+
+
 def _fused_fwd(soa, accel, o, d, fudge, bounces):
     if replay_supported(soa, accel, bounces, n_rays=o.shape[0]):
         c, dep, nrm, codes = _fused_forward(
@@ -2750,42 +2778,41 @@ def _fused_bwd(fudge, bounces, res, cot):
         _REPLAY_CHUNK = int(__import__("os").environ.get("CUTRACE_REPLAY_CHUNK", 131072))
 
         def rep(soa_, o_, d_):
-            r0 = o_.shape[0]
-            k = -(-r0 // _REPLAY_CHUNK)
-            if k <= 1:
-                return replay_render_rays(soa_, o_, d_, codes,
-                                          jnp.float32(fudge), bounces)
-            ch = -(-r0 // k)
-            pad = k * ch - r0
-
-            def p(x, fill):
-                if not pad:
-                    return x
-                return jnp.concatenate(
-                    [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
-
-            oo = p(o_, 0.0).reshape(k, ch, 3)
-            dd = p(d_, 1.0).reshape(k, ch, 3)
-            cc = p(codes, -1).reshape(k, ch, codes.shape[1])
-            c, dep, nrm = jax.lax.map(
-                lambda a: replay_render_rays(
-                    soa_, a[0], a[1], a[2], jnp.float32(fudge), bounces),
-                (oo, dd, cc),
+            return _chunked_rays(
+                lambda oo, dd, cc: replay_render_rays(
+                    soa_, oo, dd, cc, jnp.float32(fudge), bounces),
+                _REPLAY_CHUNK, (o_, 0.0), (d_, 1.0), (codes, -1),
             )
-            return (c.reshape(k * ch, 3)[:r0], dep.reshape(k * ch)[:r0],
-                    nrm.reshape(k * ch, 3)[:r0])
 
         _, vjp = jax.vjp(rep, soa, o, d)
         g_soa, g_o, g_d = vjp(cot)
     else:
         # Out of replay scope (sublane kernel / deep two-branch tree):
         # differentiate the composable pipeline over the same clusters.
+        # CHUNKED + REMATERIALIZED: the two-branch tree's deepest
+        # wavefront level batches rays x 2^bounces nodes, and its
+        # unchunked vjp OOM'd at compile for sphere_plane 1080p b5
+        # (f32[66355200,3] transients, 34 GB > HBM — round 4). Chunking
+        # alone is NOT enough — lax.map's vjp stacks every chunk's
+        # residuals (measured 160 GB at 1080p b5) — so the chunk body is
+        # jax.checkpoint'ed: only (o, d) chunks are saved and the
+        # transpose recomputes each chunk's forward in its own window
+        # (one extra forward of compute for O(chunk) memory).
         from cutrace_tpu.ops.bvh import candidates_fn
         from cutrace_tpu.render.renderer import render_rays
 
+        _COMP_CHUNK = int(__import__("os").environ.get(
+            "CUTRACE_COMPOSABLE_BWD_CHUNK", 65536))
+
         def composable(soa_, o_, d_):
-            return render_rays(soa_, o_, d_, bounces, jnp.float32(fudge),
-                               candidates_fn(accel))
+            return _chunked_rays(
+                jax.checkpoint(
+                    lambda oo, dd: render_rays(soa_, oo, dd, bounces,
+                                               jnp.float32(fudge),
+                                               candidates_fn(accel))
+                ),
+                _COMP_CHUNK, (o_, 0.0), (d_, 1.0),
+            )
 
         _, vjp = jax.vjp(composable, soa, o, d)
         g_soa, g_o, g_d = vjp(cot)

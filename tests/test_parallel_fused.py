@@ -106,7 +106,7 @@ def test_sharded_fused_train_step_uses_replay_backward(
     import optax
 
     from cutrace_tpu.diff.grad import extract_params, with_params
-    from cutrace_tpu.ops import fused as F, replay as R
+    from cutrace_tpu.ops import fused as F, replay as R, replay_vjp as RV
     from cutrace_tpu.parallel.train import make_train_step
 
     soa0 = bunny_prepared.soa
@@ -122,11 +122,16 @@ def test_sharded_fused_train_step_uses_replay_backward(
     tgt = jnp.zeros((n, 3), jnp.float32)
 
     fused_calls = _count_calls(monkeypatch, F, "fused_render_rays")
+    # either replay backward counts: the Pallas replay-VJP kernel is the
+    # production opaque path, the XLA replay covers the rest
     replay_calls = _count_calls(monkeypatch, R, "replay_render_rays")
+    rvjp_calls = _count_calls(monkeypatch, RV, "replay_vjp")
     step = make_train_step(mesh, opt, bounces=2, accel=accel)
     lowered = step.lower(params, state, soa, tgt)
     assert fused_calls, "train step did not trace the fused forward"
-    assert replay_calls, "train step did not trace the replay backward"
+    assert replay_calls or rvjp_calls, (
+        "train step did not trace a replay backward"
+    )
 
     txt = lowered.compile().as_text()
     kinds = set(_COLLECTIVES.findall(txt))

@@ -316,10 +316,12 @@ def test_replay_hbm_streamed_kernel(scenes_dir, monkeypatch):
 
 
 def test_replay_chunked_backward(scenes_dir, monkeypatch):
-    """The lax.map-chunked replay vjp (production path for big ray counts
-    — the packed row gather's transpose needs bounded transients) must
-    produce the same gradients as the unchunked replay, including the
-    ragged-tail padding."""
+    """The lax.map-chunked XLA replay vjp (the big-ray-count path for
+    configs outside the Pallas replay-VJP kernel's scope — the packed row
+    gather's transpose needs bounded transients) must produce the same
+    gradients as the unchunked replay, including the ragged-tail padding.
+    CUTRACE_REPLAY_VJP=0 pins the XLA replay branch (the kernel would
+    otherwise intercept bunny and never chunk)."""
     import jax as _jax
 
     soa, accel, o, d, idx = _setup(scenes_dir, "bunny")  # 288 rays
@@ -332,14 +334,51 @@ def test_replay_chunked_backward(scenes_dir, monkeypatch):
         c, _, _ = fused_render_rays(s, accel, o2, d2, 1e-3, 2)
         return jnp.mean(c ** 2)
 
-    g1 = jax.grad(loss)(params)
-    # chunk=64 -> k=5 chunks of 58 rays + 2 padding rays
-    monkeypatch.setenv("CUTRACE_REPLAY_CHUNK", "64")
+    monkeypatch.setenv("CUTRACE_REPLAY_VJP", "0")
+    _jax.clear_caches()
+    try:
+        g1 = jax.grad(loss)(params)
+        # chunk=64 -> k=5 chunks of 58 rays + 2 padding rays
+        monkeypatch.setenv("CUTRACE_REPLAY_CHUNK", "64")
+        _jax.clear_caches()
+        g2 = jax.grad(loss)(params)
+        for k in g1:
+            # per-chunk accumulation reorders the fp sums: ~1e-5 rel
+            np.testing.assert_allclose(
+                np.asarray(g1[k]), np.asarray(g2[k]),
+                rtol=1e-4, atol=1e-7, err_msg=k)
+    finally:
+        _jax.clear_caches()
+
+
+def test_composable_chunked_backward(scenes_dir, monkeypatch):
+    """The lax.map-chunked COMPOSABLE backward (the out-of-replay-scope
+    fallback; unchunked it OOM'd at compile for sphere_plane 1080p b5 —
+    f32[66M,3] wavefront transients, round 4) must produce the same
+    gradients as the unchunked composable, including ragged-tail padding.
+    Forced out of replay scope via a zero code-buffer budget."""
+    import jax as _jax
+
+    import cutrace_tpu.ops.replay as rp
+
+    soa, accel, o, d, idx = _setup(scenes_dir, "sphere_plane")  # 288 rays
+    monkeypatch.setattr(rp, "REPLAY_MAX_CODE_BYTES", 1)
+    assert not replay_supported(soa, accel, 2, n_rays=288)
+    params = extract_params(soa)
+    w = soa.width
+
+    def loss(p):
+        s = with_params(soa, p)
+        o2, d2 = camera_rays(s, idx % w, idx // w)
+        c, _, _ = fused_render_rays(s, accel, o2, d2, 1e-3, 2)
+        return jnp.mean(c ** 2)
+
+    g1 = jax.grad(loss)(params)  # 288 <= default chunk: unchunked
+    monkeypatch.setenv("CUTRACE_COMPOSABLE_BWD_CHUNK", "64")
     _jax.clear_caches()
     try:
         g2 = jax.grad(loss)(params)
         for k in g1:
-            # per-chunk accumulation reorders the fp sums: ~1e-5 rel
             np.testing.assert_allclose(
                 np.asarray(g1[k]), np.asarray(g2[k]),
                 rtol=1e-4, atol=1e-7, err_msg=k)
