@@ -2680,8 +2680,13 @@ def replay_supported(soa, accel, bounces: int, n_rays: int = 0) -> bool:
     columns); the topo block must fit the kernel's out-block budget and,
     given `n_rays` (static at trace time), the materialized code buffer
     must fit the HBM budget (ops/replay.py)."""
+    import os as _os
+
     from cutrace_tpu.ops.replay import (REPLAY_MAX_CODE_BYTES,
                                         REPLAY_MAX_ROWS, replay_rows)
+
+    code_budget = int(_os.environ.get("CUTRACE_REPLAY_MAX_CODE_BYTES",
+                                      REPLAY_MAX_CODE_BYTES))
 
     if accel is None or accel.kind != "fused":
         return False
@@ -2704,7 +2709,7 @@ def replay_supported(soa, accel, bounces: int, n_rays: int = 0) -> bool:
     rows = replay_rows(soa, bounces)
     if rows > REPLAY_MAX_ROWS:
         return False
-    return rows * max(n_rays, 1) * 4 <= REPLAY_MAX_CODE_BYTES
+    return rows * max(n_rays, 1) * 4 <= code_budget
 
 
 def _chunked_rays(fn, chunk, *arrays_with_fill):
@@ -2775,12 +2780,26 @@ def _fused_bwd(fudge, bounces, res, cot):
         # accumulate across chunks in the map transpose.
         from cutrace_tpu.ops.replay import replay_render_rays
 
-        _REPLAY_CHUNK = int(__import__("os").environ.get("CUTRACE_REPLAY_CHUNK", 131072))
+        # Chunk scales with the topo-row count: per-chunk transpose temps
+        # grow with rows, and deep two-branch trees (441 rows) measured
+        # right at 16384 (the 131072 bunny default would OOM there).
+        from cutrace_tpu.ops.replay import replay_rows
+
+        _rows = replay_rows(soa, bounces)
+        _REPLAY_CHUNK = int(__import__("os").environ.get(
+            "CUTRACE_REPLAY_CHUNK", 131072 if _rows <= 64 else 16384))
 
         def rep(soa_, o_, d_):
+            # the chunk body is rematerialized like the composable one:
+            # lax.map's vjp otherwise stacks every chunk's residuals
+            # (tolerable at bunny's 30 topo rows, prohibitive at deep
+            # two-branch trees' 441), and the replay forward is gathers +
+            # elementwise — cheap to recompute
             return _chunked_rays(
-                lambda oo, dd, cc: replay_render_rays(
-                    soa_, oo, dd, cc, jnp.float32(fudge), bounces),
+                jax.checkpoint(
+                    lambda oo, dd, cc: replay_render_rays(
+                        soa_, oo, dd, cc, jnp.float32(fudge), bounces)
+                ),
                 _REPLAY_CHUNK, (o_, 0.0), (d_, 1.0), (codes, -1),
             )
 
@@ -2801,8 +2820,15 @@ def _fused_bwd(fudge, bounces, res, cot):
         from cutrace_tpu.ops.bvh import candidates_fn
         from cutrace_tpu.render.renderer import render_rays
 
+        # Default chunk scales with the tree: two-branch scenes batch
+        # rays x 2^bounces nodes per level and XLA pads the transpose's
+        # (N, 3)/(N, 1) temps to 128 lanes (42.7-128x), so the memory per
+        # chunk ray is ~2^bounces x 10 KB. 4096 measured 3.5 GB / 46.7
+        # s/step for sphere_plane 1080p b5 (64800 OOM'd at 56 GB).
+        two_branch = soa.any_reflective and soa.any_transparent
+        default_chunk = max(4096, 65536 >> bounces) if two_branch else 65536
         _COMP_CHUNK = int(__import__("os").environ.get(
-            "CUTRACE_COMPOSABLE_BWD_CHUNK", 65536))
+            "CUTRACE_COMPOSABLE_BWD_CHUNK", default_chunk))
 
         def composable(soa_, o_, d_):
             return _chunked_rays(

@@ -81,8 +81,14 @@ def replay_rows(soa, bounces: int) -> int:
 # Replay scope: topo rows are bounded by the kernel's out-block budget
 # (rows x TILE_R x 4B of VMEM per tile), and the materialized code buffer
 # by rows x rays x 4B of HBM. Past either, the composable backward runs.
+# The code budget is a quarter of a v5e's HBM: the deep-transparent
+# flagship (sphere_plane 1080p b5 = 441 rows x 2.07M rays = 3.66 GB)
+# measured 13.3 s/step through the replay vs 46.7 s through the
+# chunked+remat composable fallback (round 4) — the buffer is worth its
+# memory. CUTRACE_REPLAY_MAX_CODE_BYTES overrides (read in
+# ops.fused.replay_supported).
 REPLAY_MAX_ROWS = 512
-REPLAY_MAX_CODE_BYTES = 256 * 1024 * 1024
+REPLAY_MAX_CODE_BYTES = 4 * 1024 * 1024 * 1024
 
 
 def _dot(a, b):

@@ -105,7 +105,10 @@ def test_replay_fallback_out_of_scope(scenes_dir, monkeypatch):
     soa, accel, o, d, idx = _setup(scenes_dir, "sphere_plane", w=16, h=8)
     assert replay_rows(soa, 5) == 441
     assert replay_supported(soa, accel, 5, n_rays=16 * 8)
-    assert not replay_supported(soa, accel, 5, n_rays=1920 * 1080)
+    # round 4: the 4 GB code budget covers 1080p b5 (3.66 GB, measured
+    # 13.3 s/step on chip); 4x the rays overflows it
+    assert replay_supported(soa, accel, 5, n_rays=1920 * 1080)
+    assert not replay_supported(soa, accel, 5, n_rays=4 * 1920 * 1080)
 
     monkeypatch.setattr(rp, "REPLAY_MAX_CODE_BYTES", 1)
     assert not replay_supported(soa, accel, 2, n_rays=16 * 8)
