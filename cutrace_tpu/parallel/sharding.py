@@ -221,9 +221,11 @@ def render_pixels_sharded(soa, mesh: Mesh, idx, bounces: int, fudge,
             # multi-chip path gets the single-chip kernel's speed (the
             # composable pipeline below is ~15x slower per chip). Falls
             # through when out of kernel scope. `fudge` must be static
-            # (the kernel's custom_vjp keeps it nondiff); render_sharded
-            # passes it so, the training path passes a traced scalar and
-            # keeps the composable pipeline.
+            # (the kernel's custom_vjp keeps it nondiff); both
+            # render_sharded and the training step (make_train_step's
+            # float default) pass it so — distributed training runs the
+            # fused forward + replay backward per shard
+            # (tests/test_parallel_fused.py, dryrun_multichip phase 2).
             from cutrace_tpu.ops.fused import (fused_render_rays,
                                                fused_supported)
 
