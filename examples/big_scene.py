@@ -10,8 +10,8 @@ remains the oracle/fallback). Midpoint subdivision is used here to scale
 the 1000-triangle bunny to any size without changing the image (the
 children tile the parent surface exactly).
 
-    python examples/big_scene.py --level 4          # 256k triangles
-    python examples/big_scene.py --level 5 --width 480 --height 270
+    PYTHONPATH=. python examples/big_scene.py --level 4          # 256k triangles
+    PYTHONPATH=. python examples/big_scene.py --level 5 --width 480 --height 270
 
 First compile of a new (scene shape, resolution) pair is slow; steady
 frames are reported after warmup.

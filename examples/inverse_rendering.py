@@ -3,8 +3,8 @@
 Demonstrates the capability stack the CUDA reference lacks entirely:
 differentiable rendering + distributed optimization + checkpoint/resume.
 
-    python examples/inverse_rendering.py            # uses all local devices
-    python examples/inverse_rendering.py --cpu      # 8-device virtual mesh
+    PYTHONPATH=. python examples/inverse_rendering.py            # uses all local devices
+    PYTHONPATH=. python examples/inverse_rendering.py --cpu      # 8-device virtual mesh
 """
 
 import argparse
@@ -13,7 +13,7 @@ import pathlib
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
-import cutrace_tpu  # noqa: F401  (install with: pip install -e .)
+import cutrace_tpu  # noqa: F401  (PYTHONPATH=. from the repo root, or pip install -e .)
 
 
 def main():
@@ -74,6 +74,27 @@ def main():
     print(np.asarray(params["mat_color"]).round(3))
     print("true material colors:")
     print(true_colors.round(3))
+
+    # ---- camera recovery (look-at reparameterization) ----------------
+    # Optimizing the raw basis vectors would skew the projection; the
+    # look-at view (diff/camera.py) keeps every gradient step a valid
+    # orthonormal camera. Perturb the eye, recover it from the image.
+    from cutrace_tpu.diff.camera import apply_look_at, camera_to_look_at
+
+    true_cam = camera_to_look_at(soa)
+    shaken = apply_look_at(
+        soa, dict(true_cam,
+                  cam_eye=true_cam["cam_eye"] + jnp.asarray([0.08, -0.05, 0.06])),
+    )
+    target_b1, _, _ = render_image_flat(soa, 1, 1e-3)  # matched model
+    cam_params, cam_losses = fit(
+        shaken, target_b1, mesh, steps=250, lr=4e-3, bounces=1,
+        param_filter=("cam_eye",), camera="look_at",
+    )
+    err = np.abs(np.asarray(cam_params["cam_eye"])
+                 - np.asarray(true_cam["cam_eye"]))
+    print(f"\ncamera: loss {cam_losses[0]:.6f} -> {cam_losses[-1]:.2e}, "
+          f"eye error {err.round(4)}")
 
 
 if __name__ == "__main__":
