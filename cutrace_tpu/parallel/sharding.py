@@ -319,11 +319,22 @@ def render_sharded(
     # Fused path: per-device block-order shards. Assemble on the host
     # (device_get + scanline un-permute) — the multi-chip analog of the
     # reference's cudaMemcpy image download (kernel.hpp:119-125); the
-    # compiled render program itself stays collective-free.
+    # compiled render program itself stays collective-free. Across
+    # PROCESSES the local device_get can't see remote shards, so the
+    # assembly goes through the explicit multihost gather
+    # (multihost.gather_image's primitive) instead.
     from cutrace_tpu.render.renderer import _block_order
 
     _, inverse = _block_order(scene.width, scene.height, color.shape[0])
-    color, depth, normal = (np.asarray(x) for x in (color, depth, normal))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        color, depth, normal = (
+            np.asarray(multihost_utils.process_allgather(x, tiled=True))
+            for x in (color, depth, normal)
+        )
+    else:
+        color, depth, normal = (np.asarray(x) for x in (color, depth, normal))
     return (
         jnp.asarray(color[inverse][:n].reshape(scene.height, scene.width, 3)),
         jnp.asarray(depth[inverse][:n].reshape(scene.height, scene.width)),

@@ -57,10 +57,22 @@ def main():
     full = multihost.gather_image(color)
     assert full.shape == (36, 64, 3), full.shape
 
-    if pid == 0:
-        import numpy as np
+    # fused-kernel path across processes: per-device block-order shards,
+    # assembled via the explicit multihost gather inside render_sharded
+    # (round 4 — the production multi-chip kernel config, multi-process)
+    from cutrace_tpu.parallel import render_sharded
+    from cutrace_tpu.render.renderer import prepare
 
+    prepared = prepare(soa, accel="fused")
+    color_f, _, _ = render_sharded(prepared, mesh, bounces=2)
+    import numpy as np
+
+    color_f = np.asarray(color_f)
+    assert color_f.shape == (36, 64, 3), color_f.shape
+
+    if pid == 0:
         np.save(out_path, full)
+        np.save(out_path.replace(".npy", "_fused.npy"), color_f)
     # all processes must stay alive until the collectives finish
     jax.effects_barrier()
 

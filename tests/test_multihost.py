@@ -61,3 +61,20 @@ def test_two_process_render_matches_single(tmp_path):
     single = np.asarray(render_sharded(scene_to_soa(sc), mesh, bounces=2)[0])
 
     np.testing.assert_array_equal(multi, single)
+
+    # fused-kernel path: the 2-process render (explicit multihost-gather
+    # assembly) must be bit-identical to a SINGLE-process render over the
+    # same 4-device mesh SHAPE — the same partitioned program, so fp must
+    # agree exactly. (A different mesh/padding shape legitimately flips
+    # knife-edge winners: the plain renderer's ray-gen compiles into a
+    # different fusion context and differs by ulps on silhouettes —
+    # measured 68/6912 px on this scene.)
+    from cutrace_tpu.render.renderer import prepare
+
+    multi_fused = np.load(str(out).replace(".npy", "_fused.npy"))
+    prepared = prepare(scene_to_soa(sc), accel="fused")
+    mesh4 = make_mesh(4, 1, devices=jax.devices()[:4])
+    single_fused = np.asarray(
+        render_sharded(prepared, mesh4, bounces=2)[0]
+    )
+    np.testing.assert_array_equal(multi_fused, single_fused)
