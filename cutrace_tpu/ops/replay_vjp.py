@@ -36,6 +36,20 @@ flag, which carries no gradient) within the lanes-kernel range. Covers
 the BASELINE flagship backward workload (bunny 1080p b5) and mirror;
 transparent scenes keep the XLA replay / composable fallback
 (ops/fused.py _fused_bwd).
+
+Future work — the transparent-tree kernel (the remaining 13.3 s/step,
+sphere_plane 1080p b5 through the XLA replay): the opaque chain's
+straight-line reverse sweep generalizes to the two-branch tree with
+(a) a depth-first frame stack in VMEM scratch mirroring the forward
+kernel's parked transparency frames (8 rows x depth), (b) march adjoints —
+sh = sum over steps of (1 - occluder transparency) IS differentiable
+w.r.t. mat_transparency through the gathered occluder rows (replay
+_phong_lights per_light > 1 branch), adding one gather/scatter contraction
+pair per (node, light, step) = 378 extra dots per tile at the flagship
+config, and (c) the weff = w*(1-f) / child-weight adjoints at each spawn.
+Nothing in the layout changes; the work is the hand derivation and the
+program size (63 nodes statically unrolled). Scale estimate: ~7x the
+opaque kernel's dots -> O(0.7 s) vs 13.3 s.
 """
 
 from __future__ import annotations
