@@ -2759,11 +2759,12 @@ def _fused_bwd(fudge, bounces, res, cot):
     from cutrace_tpu.ops.replay_vjp import replay_vjp, replay_vjp_supported
 
     if codes is not None and replay_vjp_supported(soa, bounces):
-        # Opaque scenes: the hand-written Pallas replay-VJP kernel — the
-        # whole backward in one kernel pass (ops/replay_vjp.py; the XLA
-        # replay vjp below measured 778 ms of the 1.18 s bunny 1080p b5
-        # grad step as ~90 HBM-bouncing fusions per chunk). Gradient
-        # semantics identical (tests/test_replay_vjp.py).
+        # The hand-written Pallas replay-VJP kernel — the whole backward
+        # in one kernel pass (ops/replay_vjp.py; the XLA replay vjp below
+        # measured 778 ms of the 1.18 s bunny 1080p b5 grad step as ~90
+        # HBM-bouncing fusions per chunk). Covers opaque chains and
+        # transparent two-branch trees within the gate's budgets.
+        # Gradient semantics identical (tests/test_replay_vjp.py).
         g_soa, g_o, g_d = replay_vjp(
             soa, o, d, codes, cot, fudge, bounces, accel.interpret
         )

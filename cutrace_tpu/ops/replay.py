@@ -247,15 +247,27 @@ def _phong_lights(soa, hit, point, nn, nd, mrow, codes, shadow_base,
     phong_e = mrow[:, _PK_PHONG]
     final = soa.ambient * diffuse
     md = -nd
+
+    def _safe_len(v2):
+        """sqrt(v2) with a FINITE vjp at v2 == 0: sqrt's autodiff is
+        0.5/sqrt(0) = inf, and inf * (even a zero cotangent) = NaN — the
+        guard must sit INSIDE the sqrt, with the primal value restored by
+        the outer where. Reachable: hv = md + sdir == 0 when a light's
+        direction coincides exactly with the ray (observed on the v5e at
+        dead-node lanes, where garbage codes build degenerate bounce
+        chains); diff == 0 when a light sits on the shading point."""
+        z = v2 == 0.0
+        return jnp.where(z, 0.0, jnp.sqrt(jnp.where(z, 1.0, v2)))
+
     for li in range(soa.n_lights):
         vec = soa.light_vec[li]
         is_sun = soa.light_kind[li] == 0
         diff = vec[None, :] - point
-        dist = jnp.sqrt(_dot(diff, diff))
+        dist = _safe_len(_dot(diff, diff))
         dsafe = jnp.where(dist == 0.0, 1.0, dist)
         direction = jnp.where(is_sun, -vec[None, :], diff / dsafe[:, None])
         distance = jnp.where(is_sun, jnp.inf, dist)
-        dl = jnp.sqrt(_dot(direction, direction))
+        dl = _safe_len(_dot(direction, direction))
         light_dist = distance * dl  # shading.hpp:80
         dls = jnp.where(dl == 0.0, 1.0, dl)
         sdir = direction / dls[:, None]
@@ -289,7 +301,7 @@ def _phong_lights(soa, hit, point, nn, nd, mrow, codes, shadow_base,
         fdd = _dot(nn, sdir)
         fd = jnp.where(fdd > 0.0, fdd, 0.0)
         hv = md + sdir
-        hl = jnp.sqrt(_dot(hv, hv))
+        hl = _safe_len(_dot(hv, hv))
         bdd = _dot(nn, hv) / jnp.where(hl == 0.0, 1.0, hl)
         base = jnp.where(bdd > 0.0, bdd, 0.0)
         backf = base <= 0.0
@@ -334,7 +346,15 @@ def replay_render_rays(soa, o, d, codes, fudge, bounces: int):
             depth_normal[0] = t  # +inf on miss
             depth_normal[1] = jnp.where(hit[:, None], rnorm, 0.0)
         nrm = jnp.where(hit[:, None], rnorm, _UNIT_Z[None, :])
-        nn = _normalize(nrm)
+        # |nrm| == 0 guard: DEAD nodes' code slots are garbage (the fused
+        # kernel's @pl.when subtree skip + alive-masked casts leave them
+        # unwritten/uncomputed — ops/fused.py do_node), so a dead lane can
+        # carry a spurious "hit" on the zero-area padded triangle, whose
+        # zero normal would send NaN through an unguarded normalize and
+        # poison the whole vjp via 0 * NaN. Guarded, the lane's phong is
+        # finite and its w == 0 kills value and gradient alike.
+        nn_l2 = _dot(nrm, nrm)
+        nn = nrm / jnp.sqrt(jnp.where(nn_l2 == 0.0, 1.0, nn_l2))[:, None]
         ph = _phong_lights(soa, hit, point, nn, nd, mrow, codes,
                            shadow_base, per_light, o0, table)
         ph = jnp.where(hit[:, None], ph, 0.0)

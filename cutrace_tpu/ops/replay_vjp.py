@@ -1,4 +1,4 @@
-"""Pallas replay-VJP kernel: the speed-of-light backward for opaque scenes.
+"""Pallas replay-VJP kernel: the speed-of-light backward.
 
 Round 3's backward differentiated the code-driven replay (ops/replay.py)
 with XLA autodiff: correct, but the compiled program was ~90 HBM-bouncing
@@ -9,10 +9,10 @@ actually needs to move.
 This module replaces that XLA vjp with ONE Pallas kernel that runs the
 whole replay backward per 512-ray tile in VMEM:
 
-  * forward sweep over the bounce CHAIN (opaque scenes have no
-    transparency branch, so the depth-first tree degenerates to a chain of
-    `bounces+1` nodes — the property that makes a hand-written reverse
-    sweep tractable), storing only (o, d, w, mind) per node;
+  * forward sweep over the statically-unrolled bounce TREE (refl-first
+    depth-first recursion, replay.topo_layout order; opaque scenes
+    degenerate to a chain of `bounces+1` nodes), storing (o, d, w, mind)
+    and the gathered winner rows per node;
   * reverse sweep with the hand-derived adjoint of the replay math
     (ops/replay.py hit_from_code + _phong_lights, which mirror
     /root/reference/inc/shading.hpp:22-154 and default_schema.hpp
@@ -31,25 +31,17 @@ The packed-table cotangent is then routed to the scene leaves by
 jax.vjp of the (tiny, (N,17)-sized) table constructors — the only XLA
 autodiff left in the backward.
 
-Scope: opaque scenes (per-light shadow topology is a single occlusion
-flag, which carries no gradient) within the lanes-kernel range. Covers
-the BASELINE flagship backward workload (bunny 1080p b5) and mirror;
-transparent scenes keep the XLA replay / composable fallback
-(ops/fused.py _fused_bwd).
-
-Future work — the transparent-tree kernel (the remaining 13.3 s/step,
-sphere_plane 1080p b5 through the XLA replay): the opaque chain's
-straight-line reverse sweep generalizes to the two-branch tree with
-(a) a depth-first frame stack in VMEM scratch mirroring the forward
-kernel's parked transparency frames (8 rows x depth), (b) march adjoints —
-sh = sum over steps of (1 - occluder transparency) IS differentiable
-w.r.t. mat_transparency through the gathered occluder rows (replay
-_phong_lights per_light > 1 branch), adding one gather/scatter contraction
-pair per (node, light, step) = 378 extra dots per tile at the flagship
-config, and (c) the weff = w*(1-f) / child-weight adjoints at each spawn.
-Nothing in the layout changes; the work is the hand derivation and the
-program size (63 nodes statically unrolled). Scale estimate: ~7x the
-opaque kernel's dots -> O(0.7 s) vs 13.3 s.
+Scope (replay_vjp_supported): opaque chains AND transparent two-branch
+trees within the lanes-kernel range — covers every BASELINE flagship
+backward workload (bunny/mirror 1080p b5 opaque; sphere_plane 1080p b5
+transparent). Transparent scenes add (a) the statically-unrolled
+two-branch recursion in both sweeps, (b) march adjoints — sh = sum over
+steps of (1 - occluder transparency) IS differentiable w.r.t.
+mat_transparency through the gathered occluder rows (replay
+_phong_lights per_light > 1 branch), one gather/scatter contraction pair
+per (node, light, step), and (c) the weff = w*(1-f) / child-weight
+adjoints at each spawn. Past the gate's budgets, the XLA replay /
+composable fallback runs (ops/fused.py _fused_bwd).
 """
 
 from __future__ import annotations
@@ -62,7 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cutrace_tpu.ops.replay import (_PK_COL, _PK_PHONG, _PK_REFL, _PK_SPEC,
-                                    _packed_table, topo_layout)
+                                    _PK_TRANSP, _packed_table, topo_layout)
 
 _EPS = 1e-6  # material activity threshold (default_schema.hpp:334-335)
 TILE_R = 512
@@ -75,20 +67,31 @@ _MISC_LIGHT_ROWS = 8
 
 def replay_vjp_supported(soa, bounces: int) -> bool:
     """Static gate for the Pallas replay-VJP kernel (see module
-    docstring): opaque scene (shadow topology = flag rows), chain-shaped
-    bounce tree, one-hot tiles within VMEM."""
+    docstring): one-hot tiles + per-node scratch within VMEM, statically
+    unrolled bounce tree within program-size sanity. Opaque chains AND
+    transparent two-branch trees (the march replay multiplies the gather
+    count by shadow_steps per (node, light), so the table cap tightens)."""
     import os
 
     if os.environ.get("CUTRACE_REPLAY_VJP") == "0":
-        return False
-    if soa.any_transparent:
         return False
     n = (soa.tri_p1.shape[0] + soa.pl_point.shape[0]
          + soa.sp_center.shape[0])
     if n > 8192:  # (N, 512) one-hot tile <= 16 MB
         return False
-    if bounces + 1 > 8 or soa.n_lights > 8:
+    if soa.n_lights > 8:
         return False
+    rows_total, nodes = topo_layout(
+        bounces, soa.any_reflective, soa.any_transparent, soa.n_lights,
+        soa.shadow_steps)
+    if len(nodes) > 64:  # odw+rows scratch ~65 KB/node; unroll budget
+        return False
+    if rows_total > 512:  # codes VMEM block (K, 512) <= 1 MB
+        return False
+    if soa.any_transparent:
+        # march replay: nodes x lights x steps extra gather contractions
+        if n > 2048 or soa.shadow_steps > 8:
+            return False
     return True
 
 
@@ -171,14 +174,50 @@ def _norm_vjp_guarded(unit, inv, zero_mask, g):
     return _where3(zero_mask, g, full)
 
 
+def _build_tree(bounces, any_refl, any_transp, n_lights, shadow_steps):
+    """Static bounce-tree structure in replay.topo_layout's DF order:
+    tuple of (cast_row, shadow_base, refl_child_id, transp_child_id)
+    per node (child ids None at leaves)."""
+    per_light = 1 if not any_transp else shadow_steps
+    state = [0]
+    nodes = []
+
+    def rec(level):
+        nid = len(nodes)
+        cast_row = state[0]
+        state[0] += 1
+        shadow_base = state[0]
+        state[0] += n_lights * per_light
+        nodes.append([cast_row, shadow_base, None, None])
+        if level == bounces or not (any_refl or any_transp):
+            return nid
+        if any_refl:
+            nodes[nid][2] = rec(level + 1)
+        if any_transp:
+            nodes[nid][3] = rec(level + 1)
+        return nid
+
+    rec(0)
+    return tuple(tuple(n) for n in nodes)
+
+
 def _make_replay_vjp_kernel(n_tab, t_cnt, p_cnt, s_cnt, n_lights, bounces,
-                            any_refl, tile_r, n_nodes, topo_nodes):
+                            any_refl, any_transp, shadow_steps, tile_r,
+                            n_nodes, tree):
     """Kernel body. Operand order:
     rays (8, tile_r), codes (K, tile_r) i32, cot (8, tile_r),
     tblT (_C_PAD, n_tab), lights (L, 8) SMEM, scalars (1, 4) SMEM;
     outputs d_rays (8, tile_r), d_tbl (_C_PAD, n_tab),
-    d_misc (L*8 + 8, tile_r); scratch odw (8*(B+1), tile_r),
-    grows (_C_PAD, tile_r)."""
+    d_misc (L*8 + 8, tile_r); scratch odw (8*n_nodes, tile_r),
+    grows (_C_PAD, tile_r), rows (_C_PAD*n_nodes, tile_r).
+
+    The bounce tree is python-recursed in both sweeps (static unroll —
+    opaque scenes degenerate to the chain this kernel originally
+    shipped with); transparent scenes add the weff/transparency spawn
+    adjoints and the differentiable shadow-march replay (sh depends on
+    the gathered occluders' transparency, replay _phong_lights
+    per_light > 1 branch)."""
+    per_light = 1 if not any_transp else shadow_steps
 
     def kernel(rays_ref, codes_ref, cot_ref, tbl_ref, lights_ref, scal_ref,
                drays_ref, dtbl_ref, dmisc_ref, odw_s, grows_s, rows_s):
@@ -303,9 +342,13 @@ def _make_replay_vjp_kernel(n_tab, t_cnt, p_cnt, s_cnt, n_lights, bounces,
             # sphere hit points use the normalized direction
             point = _add3(o3, _scale3(_where3(is_sp, nd3, d3), t_safe))
             nrm3 = _where3(hit, normal, (zero, zero, one))
+            # |nrm| == 0 guard, mirroring replay do_node: dead-node code
+            # slots are garbage (kernel subtree skip), and a spurious
+            # "hit" on the zero-area padded triangle must not NaN
             nn_l2 = _dot3(nrm3, nrm3)
-            nn_l = jnp.sqrt(nn_l2)
-            inv_nn = 1.0 / nn_l  # replay _normalize: unguarded
+            nn_z = nn_l2 == 0.0
+            nn_l = jnp.sqrt(jnp.where(nn_z, 1.0, nn_l2))
+            inv_nn = 1.0 / jnp.where(nn_z, 1.0, nn_l)
             nn3 = _scale3(nrm3, inv_nn)
             return dict(
                 hit=hit, is_tri=is_tri, is_pl=is_pl, is_sp=is_sp,
@@ -319,19 +362,59 @@ def _make_replay_vjp_kernel(n_tab, t_cnt, p_cnt, s_cnt, n_lights, bounces,
                 sel0=sel0, sel1=sel1, t_sp=t_sp,
                 nsp=nsp, nil2_z=nil2_z, inv_nil=inv_nil, n_sp=n_sp,
                 t=t, t_safe=t_safe, point=point,
-                nrm3=nrm3, inv_nn=inv_nn, nn3=nn3,
+                nrm3=nrm3, inv_nn=inv_nn, nn_z=nn_z, nn3=nn3,
                 diffuse=(row(10), row(11), row(12)),
-                spec=row(13), refl=row(14), phong_e=row(15), rows=rows,
+                spec=row(13), refl=row(14), phong_e=row(15),
+                transp=row(16), rows=rows,
             )
 
-        # ---------------- forward sweep: store (o, d, w, mind) ----------
-        o3 = (rrow(0), rrow(1), rrow(2))
-        d3 = (rrow(3), rrow(4), rrow(5))
-        mind = rrow(6)
-        w = one
+        def t_only(rows, code, o3, d3, mind):
+            """Lean hit re-derivation for the shadow-march replay: only
+            (hit, t, occluder transparency) — the march's t feeds
+            comparisons exclusively, so no adjoints are ever needed
+            through this path (replay _phong_lights per_light > 1)."""
+            def row(j):
+                return rows[j:j + 1, :]
 
-        for k in range(n_nodes):
-            base = 8 * k
+            hit = code >= 0
+            is_tri = hit & (code < t_cnt)
+            is_pl = hit & (code >= t_cnt) & (code < t_cnt + p_cnt)
+            is_sp = hit & (code >= t_cnt + p_cnt)
+            A = (row(0), row(1), row(2))
+            B = (row(3), row(4), row(5))
+            Cv = (row(6), row(7), row(8))
+            p1, p2, p3 = A, B, Cv
+            nrm_t = _cross3(_sub3(p2, p1), _sub3(p2, p3))
+            alpha = _dot3(d3, nrm_t)
+            inv_a = 1.0 / jnp.where(alpha == 0.0, 1.0, alpha)
+            t_tri = (_dot3(p2, nrm_t) - _dot3(o3, nrm_t)) * inv_a
+            pn = B
+            denom = _dot3(d3, pn)
+            t_pl = (_dot3(A, pn) - _dot3(o3, pn)) / jnp.where(
+                denom == 0.0, 1.0, denom)
+            dlen = jnp.sqrt(_dot3(d3, d3))
+            nd3 = _scale3(d3, 1.0 / dlen)
+            cC = A
+            r2 = row(3) * row(3)
+            dec = _dot3(nd3, cC) - _dot3(nd3, o3)
+            ec2 = (_dot3(o3, o3) - 2.0 * _dot3(o3, cC) + _dot3(cC, cC))
+            sub = dec * dec - (ec2 - r2)
+            missed = sub <= 0.0
+            sq = jnp.sqrt(jnp.where(missed, 1.0, sub))
+            t0 = dec - sq
+            t1 = dec + sq
+            v0 = ~missed & jnp.isfinite(t0) & (t0 > mind)
+            v1 = ~missed & jnp.isfinite(t1) & (t1 > mind)
+            t_sp = jnp.where(v0, t0, jnp.where(v1, t1, 1.0))
+            t = jnp.where(is_tri, t_tri,
+                          jnp.where(is_pl, t_pl,
+                                    jnp.where(is_sp, t_sp, 1.0)))
+            t = jnp.where(hit, t, jnp.float32(jnp.inf))
+            return hit, t, row(16)
+
+        # ---------------- forward sweep: store (o, d, w, mind) ----------
+        def fwd_node(nid, o3, d3, w, mind):
+            base = 8 * nid
             odw_s[base + 0:base + 1, :] = o3[0]
             odw_s[base + 1:base + 2, :] = o3[1]
             odw_s[base + 2:base + 3, :] = o3[2]
@@ -343,47 +426,68 @@ def _make_replay_vjp_kernel(n_tab, t_cnt, p_cnt, s_cnt, n_lights, bounces,
             # winner rows stored for the reverse sweep (saves one gather
             # contraction per node there — masks regenerate cheaply, row
             # GATHERS are the MXU cost)
-            _, cast_row, _ = topo_nodes[k]
+            cast_row, _, refl_id, transp_id = tree[nid]
             code = codes_ref[cast_row:cast_row + 1, :]
             rows = gather_rows(onehot(code))
-            rows_s[_C_PAD * k:_C_PAD * (k + 1), :] = rows
-            if k == n_nodes - 1:
-                break
+            rows_s[_C_PAD * nid:_C_PAD * (nid + 1), :] = rows
+            if refl_id is None and transp_id is None:
+                return
             g = node_geom(rows, code, o3, d3, mind)
-            # child frame (replay do_node): reflection chain only
-            r = jnp.where(g["hit"] & (g["refl"] >= _EPS), g["refl"], 0.0)
+            hit = g["hit"]
             child_o = _add3(o3, _scale3(d3, g["t_safe"]))
-            dot_dn = _dot3(g["nd3"], g["nn3"])
-            rd = _sub3(g["nd3"], _scale3(g["nn3"], 2.0 * dot_dn))
-            o3, d3, w, mind = child_o, rd, w * r, zero + fudge
+            if any_transp:
+                f = jnp.where(hit & (g["transp"] >= _EPS), g["transp"], 0.0)
+            else:
+                f = zero
+            weff = w * (1.0 - f)
+            if refl_id is not None:
+                r = jnp.where(hit & (g["refl"] >= _EPS), g["refl"], 0.0)
+                dot_dn = _dot3(g["nd3"], g["nn3"])
+                rd = _sub3(g["nd3"], _scale3(g["nn3"], 2.0 * dot_dn))
+                fwd_node(refl_id, child_o, rd, weff * r, zero + fudge)
+            if transp_id is not None:
+                fwd_node(transp_id, child_o, d3, w * f, zero + fudge)
+
+        fwd_node(0, (rrow(0), rrow(1), rrow(2)),
+                 (rrow(3), rrow(4), rrow(5)), one, rrow(6))
 
         # ---------------- reverse sweep ---------------------------------
-        g_o = _zeros3(zero)   # cotangent w.r.t. (o, d, w) of node k+1
-        g_d = _zeros3(zero)
-        g_w = zero
         cot_c = (crow(0), crow(1), crow(2))
         cot_dep = crow(3)
         cot_n = (crow(4), crow(5), crow(6))
 
-        for k in range(n_nodes - 1, -1, -1):
-            base = 8 * k
+        def bwd_node(nid):
+            """Reverse-DF adjoints for node nid; returns the cotangents
+            w.r.t. its (o, d, w) inputs."""
+            base = 8 * nid
             o3 = (odw_s[base + 0:base + 1, :], odw_s[base + 1:base + 2, :],
                   odw_s[base + 2:base + 3, :])
             d3 = (odw_s[base + 3:base + 4, :], odw_s[base + 4:base + 5, :],
                   odw_s[base + 5:base + 6, :])
             w = odw_s[base + 6:base + 7, :]
             mind = odw_s[base + 7:base + 8, :]
-            _, cast_row, shadow_base = topo_nodes[k]
+            cast_row, shadow_base, refl_id, transp_id = tree[nid]
             code = codes_ref[cast_row:cast_row + 1, :]
             mask = onehot(code)
-            g = node_geom(rows_s[_C_PAD * k:_C_PAD * (k + 1), :],
+            g = node_geom(rows_s[_C_PAD * nid:_C_PAD * (nid + 1), :],
                           code, o3, d3, mind)
             hit = g["hit"]
             nn3 = g["nn3"]
             nd3 = g["nd3"]
             t_safe = g["t_safe"]
             point = g["point"]
-            root = k == 0
+            root = nid == 0
+            leaf = refl_id is None and transp_id is None
+
+            # children first (reverse DF; sums commute)
+            g_o_r = g_d_r = None
+            g_w_r = None
+            g_o_t = g_d_t = None
+            g_w_t = None
+            if refl_id is not None:
+                g_o_r, g_d_r, g_w_r = bwd_node(refl_id)
+            if transp_id is not None:
+                g_o_t, g_d_t, g_w_t = bwd_node(transp_id)
 
             # local cotangent accumulators
             a_o = _zeros3(zero)       # w.r.t. o3 (node origin)
@@ -396,32 +500,50 @@ def _make_replay_vjp_kernel(n_tab, t_cnt, p_cnt, s_cnt, n_lights, bounces,
             a_w = zero
             a_row = {j: zero for j in range(17)}
 
-            # --- child-transition adjoints (node k spawned node k+1) ---
-            if k < n_nodes - 1:
-                # child_o = o + t_safe * d
-                a_o = _add3(a_o, g_o)
-                a_ts = a_ts + _dot3(g_o, d3)
-                a_d = _add3(a_d, _scale3(g_o, t_safe))
-                # rd = nd - 2 (nd.nn) nn
-                dot_dn = _dot3(nd3, nn3)
-                gd_dot_nn = _dot3(g_d, nn3)
-                a_nd = _add3(a_nd, _sub3(g_d, _scale3(nn3, 2.0 * gd_dot_nn)))
-                a_nn = _sub3(
-                    a_nn,
-                    _add3(_scale3(nd3, 2.0 * gd_dot_nn),
-                          _scale3(g_d, 2.0 * dot_dn)),
-                )
-                # w_child = w * r
-                r = jnp.where(hit & (g["refl"] >= _EPS), g["refl"], 0.0)
-                a_w = a_w + g_w * r
-                a_row[_PK_REFL] = a_row[_PK_REFL] + jnp.where(
-                    hit & (g["refl"] >= _EPS), g_w * w, 0.0)
+            # spawn weights (replay do_node): f = gated transparency,
+            # weff = w (1 - f); color += (leaf ? w : weff) * ph;
+            # refl child w = weff*r; transp child w = w*f
+            if any_transp and not leaf:
+                f = jnp.where(hit & (g["transp"] >= _EPS), g["transp"], 0.0)
+            else:
+                f = zero
+            weff = w * (1.0 - f)
 
-            # --- color contribution: color += w * ph ---------------------
-            # (opaque: weff == w). Recompute phong forward per light and
-            # apply adjoints inline (shading.hpp:64-99 / replay
-            # _phong_lights, opaque flag path).
-            g_ph = _scale3(cot_c, w)           # cotangent of ph (3 rows)
+            # --- child-transition adjoints ------------------------------
+            g_weff = zero
+            if not leaf:
+                g_o_c = _zeros3(zero)
+                if refl_id is not None:
+                    g_o_c = _add3(g_o_c, g_o_r)
+                    # rd = nd - 2 (nd.nn) nn
+                    dot_dn = _dot3(nd3, nn3)
+                    gd_dot_nn = _dot3(g_d_r, nn3)
+                    a_nd = _add3(a_nd,
+                                 _sub3(g_d_r, _scale3(nn3, 2.0 * gd_dot_nn)))
+                    a_nn = _sub3(
+                        a_nn,
+                        _add3(_scale3(nd3, 2.0 * gd_dot_nn),
+                              _scale3(g_d_r, 2.0 * dot_dn)),
+                    )
+                    # w_refl = weff * r
+                    r = jnp.where(hit & (g["refl"] >= _EPS), g["refl"], 0.0)
+                    g_weff = g_weff + g_w_r * r
+                    a_row[_PK_REFL] = a_row[_PK_REFL] + jnp.where(
+                        hit & (g["refl"] >= _EPS), g_w_r * weff, 0.0)
+                if transp_id is not None:
+                    g_o_c = _add3(g_o_c, g_o_t)
+                    a_d = _add3(a_d, g_d_t)      # transp child keeps d
+                # child_o = o + t_safe * d (shared by both children)
+                a_o = _add3(a_o, g_o_c)
+                a_ts = a_ts + _dot3(g_o_c, d3)
+                a_d = _add3(a_d, _scale3(g_o_c, t_safe))
+
+            # --- color contribution -------------------------------------
+            # leaf: color += w * ph ; non-leaf: color += weff * ph.
+            # Recompute phong forward per light and apply adjoints inline
+            # (shading.hpp:64-99 / replay _phong_lights).
+            w_color = w if leaf else weff
+            g_ph = _scale3(cot_c, w_color)     # cotangent of ph (3 rows)
             g_final = _where3(hit, g_ph, _zeros3(zero))
             dif = g["diffuse"]
             spec = g["spec"]
@@ -460,11 +582,43 @@ def _make_replay_vjp_kernel(n_tab, t_cnt, p_cnt, s_cnt, n_lights, bounces,
                 inv_dl = 1.0 / jnp.where(dl_z, 1.0, dl)
                 sdir = _scale3(direction, inv_dl)
 
-                # opaque shadow flag (discrete, no gradient)
-                sh = codes_ref[
-                    shadow_base + li:shadow_base + li + 1, :
-                ].astype(jnp.float32)
-                sh = jnp.where(hit, sh, 0.0)
+                if per_light == 1:
+                    # opaque shadow flag (discrete, no gradient)
+                    sh = codes_ref[
+                        shadow_base + li:shadow_base + li + 1, :
+                    ].astype(jnp.float32)
+                    sh = jnp.where(hit, sh, 0.0)
+                    march_steps = None
+                else:
+                    # transparent shadow-march replay (replay
+                    # _phong_lights per_light > 1): sh accumulates
+                    # (1 - occluder transparency) over the coded march
+                    # steps — DIFFERENTIABLE w.r.t. the occluders'
+                    # transparency; every other march quantity feeds
+                    # comparisons only. light_dist = distance * dl
+                    # (shading.hpp:80; inf for suns).
+                    distance = jnp.where(is_sun, jnp.float32(jnp.inf),
+                                         dist)
+                    light_dist = distance * dl
+                    sh = zero
+                    last = zero
+                    act = hit
+                    march_steps = []
+                    for si in range(per_light):
+                        srow_idx = shadow_base + li * per_light + si
+                        ccode = codes_ref[srow_idx:srow_idx + 1, :]
+                        mask_s = onehot(ccode)
+                        mrow = gather_rows(mask_s)
+                        shit, st, transp_s = t_only(
+                            mrow, ccode, point, sdir, last + 1e-3)
+                        okm = (act & shit & jnp.isfinite(st)
+                               & (st < light_dist))
+                        sh = sh + jnp.where(okm, 1.0 - transp_s, 0.0)
+                        last = jnp.where(okm, st, last)
+                        act = okm & (sh < 1.0)
+                        march_steps.append((okm, mask_s))
+                    sh_raw = sh
+                    sh = jnp.where(sh >= 1.0, 1.0, sh)
                 lit = sh < 1.0
 
                 fdd = _dot3(nn3, sdir)
@@ -500,6 +654,24 @@ def _make_replay_vjp_kernel(n_tab, t_cnt, p_cnt, s_cnt, n_lights, bounces,
                 g_contrib = (wgt * lc3[0] * g_final[0],
                              wgt * lc3[1] * g_final[1],
                              wgt * lc3[2] * g_final[2])
+                if march_steps is not None:
+                    # wgt = where(sh_raw < 1, 1 - sh_raw, 0) and
+                    # sh_raw = sum over okm steps of (1 - transp_occ):
+                    # route the wgt cotangent to each step's occluder
+                    # transparency (single-row scatter per step)
+                    g_wgt = (contrib[0] * lc3[0] * g_final[0]
+                             + contrib[1] * lc3[1] * g_final[1]
+                             + contrib[2] * lc3[2] * g_final[2])
+                    g_sh_raw = jnp.where(sh_raw < 1.0, -g_wgt, 0.0)
+                    for okm, mask_s in march_steps:
+                        g_tr_s = jnp.where(okm, -g_sh_raw, 0.0)
+                        dtbl_ref[_PK_TRANSP:_PK_TRANSP + 1, :] += (
+                            jax.lax.dot_general(
+                                g_tr_s, mask_s, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST,
+                            )
+                        )
                 dg = _dot3(dif, g_contrib)
                 g_fd = dg
                 g_fs = spec * dg
@@ -539,9 +711,23 @@ def _make_replay_vjp_kernel(n_tab, t_cnt, p_cnt, s_cnt, n_lights, bounces,
                 dmisc_ref[mb + 5:mb + 6, :] += g_lcol[1]
                 dmisc_ref[mb + 6:mb + 7, :] += g_lcol[2]
 
-            # ph = where(hit, final, 0); color += w * ph
+            # ph = where(hit, final, 0); color += w_color * ph
             ph = _where3(hit, final, _zeros3(zero))
-            a_w = a_w + _dot3(ph, cot_c)
+            if leaf:
+                a_w = a_w + _dot3(ph, cot_c)
+            else:
+                # color term: d(weff * ph)/d(weff)
+                g_weff = g_weff + _dot3(ph, cot_c)
+                # weff = w (1 - f)
+                a_w = a_w + (1.0 - f) * g_weff
+                g_f = -w * g_weff
+                if transp_id is not None:
+                    # transp child w = w * f
+                    a_w = a_w + f * g_w_t
+                    g_f = g_f + w * g_w_t
+                if any_transp:
+                    a_row[_PK_TRANSP] = a_row[_PK_TRANSP] + jnp.where(
+                        hit & (g["transp"] >= _EPS), g_f, 0.0)
             # ambient partial (row after the light blocks)
             ab = n_lights * _MISC_LIGHT_ROWS
             dmisc_ref[ab:ab + 1, :] += amb_g
@@ -570,12 +756,9 @@ def _make_replay_vjp_kernel(n_tab, t_cnt, p_cnt, s_cnt, n_lights, bounces,
             a_d = _add3(a_d, _where3(is_sp, _zeros3(zero),
                                      _scale3(a_pt, t_safe)))
 
-            # nn = nrm / |nrm| (replay _normalize, unguarded);
+            # nn = nrm / guarded |nrm| (replay do_node, |nrm|==0 -> /1);
             # nrm = where(hit, normal, unit_z)
-            du = _dot3(nn3, a_nn)
-            g_nrm = ((a_nn[0] - nn3[0] * du) * g["inv_nn"],
-                     (a_nn[1] - nn3[1] * du) * g["inv_nn"],
-                     (a_nn[2] - nn3[2] * du) * g["inv_nn"])
+            g_nrm = _norm_vjp_guarded(nn3, g["inv_nn"], g["nn_z"], a_nn)
             a_normal = _add3(a_normal, _where3(hit, g_nrm, _zeros3(zero)))
 
             # t_safe = where(hit, t, 1)
@@ -701,15 +884,17 @@ def _make_replay_vjp_kernel(n_tab, t_cnt, p_cnt, s_cnt, n_lights, bounces,
             grows_s[13:14, :] = a_row[_PK_SPEC]
             grows_s[14:15, :] = a_row[_PK_REFL]
             grows_s[15:16, :] = a_row[_PK_PHONG]
-            grows_s[16:24, :] = jnp.zeros((8, tile_r), jnp.float32)
+            grows_s[16:17, :] = a_row[_PK_TRANSP]
+            grows_s[17:24, :] = jnp.zeros((7, tile_r), jnp.float32)
             dtbl_ref[...] += jax.lax.dot_general(
                 grows_s[...], mask, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-            # hand to node k-1 as child cotangents
-            g_o, g_d, g_w = a_o, a_d, a_w
+            return a_o, a_d, a_w
+
+        g_o, g_d, _ = bwd_node(0)
 
         drays_ref[0:1, :] = g_o[0]
         drays_ref[1:2, :] = g_o[1]
@@ -725,11 +910,12 @@ def _make_replay_vjp_kernel(n_tab, t_cnt, p_cnt, s_cnt, n_lights, bounces,
 @functools.partial(
     jax.jit,
     static_argnames=("t_cnt", "p_cnt", "s_cnt", "n_lights", "bounces",
-                     "any_refl", "n_nodes", "topo_nodes", "interpret"),
+                     "any_refl", "any_transp", "shadow_steps", "n_nodes",
+                     "tree", "interpret"),
 )
 def _run_replay_vjp(rays, codes_t, cot, tbl_t, lights, scalars,
                     t_cnt, p_cnt, s_cnt, n_lights, bounces, any_refl,
-                    n_nodes, topo_nodes, interpret):
+                    any_transp, shadow_steps, n_nodes, tree, interpret):
     n_tab = tbl_t.shape[1]
     r_pad = rays.shape[1]
     n_tiles = r_pad // TILE_R
@@ -738,7 +924,7 @@ def _run_replay_vjp(rays, codes_t, cot, tbl_t, lights, scalars,
 
     kernel = _make_replay_vjp_kernel(
         n_tab, t_cnt, p_cnt, s_cnt, n_lights, bounces, any_refl,
-        TILE_R, n_nodes, topo_nodes,
+        any_transp, shadow_steps, TILE_R, n_nodes, tree,
     )
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
@@ -799,6 +985,15 @@ def replay_vjp(soa, o, d, codes, cot, fudge, bounces: int, interpret):
                                 soa.any_transparent, soa.n_lights,
                                 soa.shadow_steps)
     n_nodes = len(topo_nodes)
+    tree = _build_tree(bounces, bool(soa.any_reflective),
+                       bool(soa.any_transparent), soa.n_lights,
+                       soa.shadow_steps)
+    # the tree MUST assign the same code rows topo_layout/the fused
+    # kernel emitted (both recursions are refl-first DF; this pins it)
+    assert len(tree) == n_nodes and all(
+        tree[k][0] == topo_nodes[k][1] and tree[k][1] == topo_nodes[k][2]
+        for k in range(n_nodes)
+    ), "replay_vjp tree out of sync with topo_layout"
 
     r = o.shape[0]
     r_pad = -(-r // TILE_R) * TILE_R
@@ -843,7 +1038,9 @@ def replay_vjp(soa, o, d, codes, cot, fudge, bounces: int, interpret):
         rays, codes_t, cot8, tbl_t, sg(lights), scalars,
         t_cnt=t_cnt, p_cnt=p_cnt, s_cnt=s_cnt, n_lights=soa.n_lights,
         bounces=bounces, any_refl=bool(soa.any_reflective),
-        n_nodes=n_nodes, topo_nodes=tuple(topo_nodes),
+        any_transp=bool(soa.any_transparent),
+        shadow_steps=int(soa.shadow_steps),
+        n_nodes=n_nodes, tree=tree,
         interpret=bool(interpret),
     )
 

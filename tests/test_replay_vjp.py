@@ -103,6 +103,77 @@ def test_kernel_vjp_parity_mirror(scenes_dir):
     _compare(_prep(scenes_dir, "mirror.json", 32, 16), bounces=2)
 
 
+def test_kernel_vjp_parity_transparent(scenes_dir):
+    """Two-branch bounce tree (refl + transp children) + the
+    differentiable shadow-march replay: 7 nodes, 2 lights x 3 march
+    steps (sphere_plane at b2)."""
+    _compare(_prep(scenes_dir, "sphere_plane.json", 32, 16), bounces=2)
+
+
+def test_dead_node_garbage_codes_finite(scenes_dir):
+    """The fused kernel's @pl.when subtree skip + alive-masked casts
+    leave DEAD nodes' code slots unwritten on chip — the host clips the
+    garbage into valid-looking codes, so a dead lane can claim a "hit"
+    on the zero-area padded triangle (observed on the v5e: primary miss,
+    refl-child code 0 -> unguarded normalize(0) NaN poisoning tri/light/
+    camera grads via 0 * NaN). Both backwards must stay finite AND
+    value/grad-identical under such garbage, since dead weight == 0."""
+    prepared = _prep(scenes_dir, "sphere_plane.json", 32, 16)
+    soa = prepared.soa
+    fudge = 1e-3
+    o, d, codes = _codes_and_rays(prepared, 2, fudge)
+    codes = np.asarray(codes).copy()
+    # poison: every primary-miss lane claims its refl child (cast row 7
+    # at b2: node rows = 1 + 2 lights x 3 steps) hit primitive 0 — the
+    # degenerate padded triangle — and marched through it 3x on light 1
+    miss = codes[:, 0] < 0
+    assert miss.any()
+    # every dead node (rows per node = 1 + 2 lights x 3 steps = 7 at b2)
+    # claims a hit on primitive 0 — including node + transp-child pairs,
+    # whose degenerate chains manufactured the on-chip NaN lanes
+    for cast_row in (7, 14, 21, 28, 35, 42):
+        codes[miss, cast_row] = 0
+    codes[miss, 11:14] = 0
+    codes = jnp.asarray(codes)
+    # ... and one ray EXACTLY antiparallel to the sun: sdir and nd then
+    # evaluate to the bit-identical normalize, hv = -nd + sdir == 0, and
+    # sqrt's autodiff at 0 is inf — inf * (concrete zero cotangent) = NaN
+    # unless the guard sits inside the sqrt (replay _phong_lights
+    # _safe_len). This needs no garbage codes at all.
+    lane = int(np.nonzero(np.asarray(miss))[0][0])
+    d = jnp.asarray(np.asarray(d).copy())
+    d = d.at[lane].set(-soa.light_vec[0])
+
+    args = (soa, o, d, codes, jnp.float32(fudge), 2)
+    c, dep, nrm = replay_render_rays(*args)
+    assert np.isfinite(np.asarray(c)).all()
+
+    _, vjp = jax.vjp(
+        lambda s, oo, dd: replay_render_rays(
+            s, oo, dd, codes, jnp.float32(fudge), 2), soa, o, d)
+    r = o.shape[0]
+    cot = (jnp.ones((r, 3), jnp.float32),
+           jnp.where(jnp.isfinite(dep), 1.0, 0.0),
+           jnp.ones((r, 3), jnp.float32))
+    ref_soa, ref_o, ref_d = vjp(cot)
+    got_soa, got_o, got_d = replay_vjp(
+        soa, o, d, codes, cot, fudge, 2, interpret=True)
+    for name, a, b in [("tri_p1", ref_soa.tri_p1, got_soa.tri_p1),
+                       ("light_vec", ref_soa.light_vec, got_soa.light_vec),
+                       ("o", ref_o, got_o), ("d", ref_d, got_d)]:
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        assert np.isfinite(a).all(), f"{name}: replay vjp not finite"
+        assert np.isfinite(b).all(), f"{name}: kernel vjp not finite"
+        scale = max(np.abs(a).max(), 1e-12)
+        assert np.allclose(a, b, rtol=2e-3, atol=2e-3 * scale), name
+
+
+@pytest.mark.slow
+def test_kernel_vjp_parity_transparent_deep(scenes_dir):
+    """Flagship tree depth: 63 nodes / 441 topo rows (sphere_plane b5)."""
+    _compare(_prep(scenes_dir, "sphere_plane.json", 16, 8), bounces=5)
+
+
 @pytest.fixture
 def opaque_spheres(tmp_path):
     """Opaque scene with spheres (sphere_plane is transparent and out of
