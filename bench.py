@@ -43,8 +43,8 @@ except Exception:
 # one day; min-of-N + the result-cache discipline does not remove it).
 # vs_baseline < 1.0 therefore means a real regression, not weather.
 # Update only upward, every round, from the new best:
-#   round 3 best = 149.6 Mcasts/s (BENCH_r03.json) -> floor 140.6.
-BASELINE_MCASTS_PER_S = 140.6
+#   round 4 best = 150.1 Mcasts/s (BENCH_r04.json) -> floor 141.1.
+BASELINE_MCASTS_PER_S = 141.1
 
 WIDTH, HEIGHT, BOUNCES = 1920, 1080, 5
 
@@ -89,9 +89,10 @@ def main():
 
     # Transparent-scene backward (BASELINE.md configs name transparency
     # explicitly): sphere_plane at its authored 1080p, bounces 5 — a
-    # 63-node two-branch tree, 441 topo rows. Takes the cast-free XLA
-    # replay (3.66 GB code buffer, 16384-ray remat chunks — 13.3 s/step
-    # measured; the chunked+remat composable fallback measured 46.7 s).
+    # 63-node two-branch tree, 441 topo rows. Takes the Pallas replay-VJP
+    # kernel (0.974 s/step, BENCH_r04); the cast-free XLA replay (13.3 s)
+    # and the chunked+remat composable vjp (46.7 s) are the fallback
+    # tiers if replay_vjp_supported ever declines the config.
     # Guarded in a subprocess: a pathological compile must degrade to a
     # recorded timeout line, never kill the bunny artifact below.
     print(json.dumps(_transparent_grad_line()))

@@ -34,11 +34,15 @@ def _norm(v):
 def look_at_basis(eye, target, up_hint, scales):
     """(forward, right, up) raw basis vectors from look-at parameters.
 
-    scales: (3,) [|forward|, |right|, |up|] — the authored basis
+    scales: (3,) [|forward|, ±|right|, |up|] — the authored basis
     magnitudes (they encode focal length / FOV / aspect in the reference's
-    ray formula, default_schema.hpp:376-386). The handedness convention
-    `right = cross(forward, up_hint)` matches the bundled scenes' authored
-    bases (verified in tests/test_camera_opt.py round-trip)."""
+    ray formula, default_schema.hpp:376-386). scales[1] carries the
+    authored HANDEDNESS as its sign: +|right| for the reference look_at
+    convention `right = +cross(forward, up)` (all bundled scenes), -|right|
+    for a left-handed authored basis — camera_to_look_at detects it, so
+    either handedness round-trips instead of silently mirroring
+    (ADVICE r4). The rebuilt up is cross(unit-right, fwd) with the
+    UNSIGNED right, which reproduces the authored up in both cases."""
     fwd = _norm(target - eye)
     right = _norm(jnp.cross(fwd, _norm(up_hint)))
     up = jnp.cross(right, fwd)  # unit: right ⊥ fwd, both unit
@@ -48,11 +52,13 @@ def look_at_basis(eye, target, up_hint, scales):
 def camera_to_look_at(soa):
     """Look-at parameters reproducing this scene's camera (dict with keys
     cam_eye, cam_target, cam_up_hint, cam_scales). Exact round-trip when
-    the authored basis is orthogonal with right = cross(forward, up)."""
+    the authored basis is orthogonal — either handedness: the sign of
+    dot(cross(forward, up), right) is carried in cam_scales[1]."""
     f, r, u = soa.cam_forward, soa.cam_right, soa.cam_up
+    hand = jnp.where(jnp.sum(jnp.cross(f, u) * r) < 0, -1.0, 1.0)
     scales = jnp.stack([
         jnp.sqrt(jnp.sum(f * f)),
-        jnp.sqrt(jnp.sum(r * r)),
+        hand * jnp.sqrt(jnp.sum(r * r)),
         jnp.sqrt(jnp.sum(u * u)),
     ])
     return {

@@ -75,10 +75,17 @@ def with_params(soa: SceneArrays, params: Dict[str, jax.Array]) -> SceneArrays:
     """A scene with its differentiable leaves replaced. Accepts either
     camera parameterization (raw basis fields, or the look-at dict keys
     from extract_params(camera="look_at"))."""
-    if "cam_target" in params:
+    cam_keys = ("cam_eye", "cam_target", "cam_up_hint", "cam_scales")
+    if any(k in params for k in cam_keys[1:]):
         from cutrace_tpu.diff.camera import apply_look_at
 
-        cam_keys = ("cam_eye", "cam_target", "cam_up_hint", "cam_scales")
+        missing = [k for k in cam_keys if k not in params]
+        if missing:
+            raise ValueError(
+                "look-at camera params are all-or-nothing: got "
+                f"{sorted(k for k in cam_keys if k in params)}, missing "
+                f"{missing} (use extract_params(camera='look_at'))"
+            )
         soa = apply_look_at(soa, {k: params[k] for k in cam_keys})
         params = {k: v for k, v in params.items() if k not in cam_keys}
     return dataclasses.replace(soa, **params)

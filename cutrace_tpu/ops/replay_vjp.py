@@ -1047,15 +1047,19 @@ def replay_vjp(soa, o, d, codes, cot, fudge, bounces: int, interpret):
     g_o = drays[0:3, :r].T
     g_d = drays[3:6, :r].T
     d_tbl = dtbl[:17].T  # (N, 17)
-    d_lights = jnp.stack([
-        jnp.concatenate([
-            jnp.zeros((1,), jnp.float32),
-            jnp.sum(dmisc[li * _MISC_LIGHT_ROWS + 1:
-                          li * _MISC_LIGHT_ROWS + 7], axis=1),
-            jnp.zeros((1,), jnp.float32),
-        ])
-        for li in range(soa.n_lights)
-    ]) if soa.n_lights else jnp.zeros((0, 8), jnp.float32)
+    # cotangent for park's light table: must match its SoA-PADDED shape
+    # (n_lights == 0 still yields a (1, 8) zero row — ADVICE r4 medium)
+    d_lights = jnp.zeros(lights.shape, jnp.float32)
+    if soa.n_lights:
+        d_lights = d_lights.at[:soa.n_lights].set(jnp.stack([
+            jnp.concatenate([
+                jnp.zeros((1,), jnp.float32),
+                jnp.sum(dmisc[li * _MISC_LIGHT_ROWS + 1:
+                              li * _MISC_LIGHT_ROWS + 7], axis=1),
+                jnp.zeros((1,), jnp.float32),
+            ])
+            for li in range(soa.n_lights)
+        ]))
     d_ambient = jnp.sum(dmisc[soa.n_lights * _MISC_LIGHT_ROWS])
 
     _, vjp = jax.vjp(park, soa)

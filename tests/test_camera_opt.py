@@ -43,6 +43,34 @@ def test_look_at_round_trip(scenes_dir, name):
         )
 
 
+def test_look_at_round_trip_left_handed(scenes_dir):
+    """A scene authored with right = -cross(forward, up) (legal under the
+    schema: the raw basis is three free vectors) must round-trip too —
+    camera_to_look_at folds the handedness sign into cam_scales[1]
+    instead of silently mirroring the projection (ADVICE r4)."""
+    soa = _soa(scenes_dir, "bunny.json")
+    soa = dataclasses.replace(soa, cam_right=-soa.cam_right)
+    la = camera_to_look_at(soa)
+    assert float(la["cam_scales"][1]) < 0  # handedness detected
+    rt = apply_look_at(soa, la)
+    for f in ("cam_eye", "cam_forward", "cam_right", "cam_up"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(rt, f)), np.asarray(getattr(soa, f)),
+            atol=1e-5, err_msg=f,
+        )
+
+
+def test_with_params_partial_look_at_raises(scenes_dir):
+    """A partial look-at dict is a caller error: with_params must raise a
+    ValueError naming the missing keys, not an opaque KeyError
+    (ADVICE r4)."""
+    soa = _soa(scenes_dir, "bunny.json")
+    params = extract_params(soa, camera="look_at")
+    del params["cam_up_hint"], params["cam_scales"]
+    with pytest.raises(ValueError, match="cam_up_hint.*cam_scales"):
+        with_params(soa, params)
+
+
 def test_camera_eye_gradient_matches_fd(tmp_path):
     """Finite-difference check of d(loss)/d(cam_eye) through the look-at
     parameterization. Camera motion moves EVERY ray, so any silhouette in

@@ -212,6 +212,48 @@ def test_kernel_vjp_parity_spheres(opaque_spheres):
     _compare(_prep(opaque_spheres), bounces=2)
 
 
+def test_zero_light_scene_grad(tmp_path):
+    """Scenes with no lights (loader-supported: ambient-only shading) must
+    produce finite gradients through the default Pallas replay-VJP branch
+    — regression for the (0, 8) vs SoA-padded (1, 8) light-cotangent
+    shape mismatch (ADVICE r4)."""
+    from cutrace_tpu.diff.grad import extract_params, with_params
+
+    scene = {
+        "camera": {"eye": [0, 1, -5], "up": [0, 1, 0], "look": [0, 1, 0],
+                   "width": 16, "height": 8, "ambient": 0.4},
+        "materials": [
+            {"type": "solid", "color": [1.0, 0.7, 0.2], "specular": 0.8,
+             "reflect": 0.3, "phong": 50},
+        ],
+        "lights": [],
+        "objects": [
+            {"type": "sphere", "material": 0, "center": [0, 1, 0],
+             "radius": 0.8},
+            {"type": "plane", "material": 0, "point": [0, -0.5, 0],
+             "normal": [0, 1, 0]},
+        ],
+    }
+    p = tmp_path / "no_lights.json"
+    p.write_text(json.dumps(scene))
+    prepared = _prep(p)
+    soa, accel = prepared.soa, prepared.accel
+    assert soa.n_lights == 0
+    n = soa.width * soa.height
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def loss(params):
+        s = with_params(soa, params)
+        o, d = camera_rays(s, idx % s.width, idx // s.width)
+        c, _, _ = fused_render_rays(s, accel, o, d, 1e-3, 2)
+        return jnp.mean(c)
+
+    g = jax.grad(loss)(extract_params(soa))
+    assert all(np.isfinite(np.asarray(v)).all() for v in g.values())
+    # the sphere color drives the ambient term: its grad must be nonzero
+    assert np.abs(np.asarray(g["mat_color"])).max() > 0
+
+
 @pytest.mark.slow
 def test_end_to_end_grad_step_uses_kernel(scenes_dir, monkeypatch):
     """Full value_and_grad through fused_render_rays: the kernel branch
