@@ -308,6 +308,72 @@ def _tables(soa, accel, o0):
     return t, aabb, aabb2, aabbg, plane, sphere, mat_tab
 
 
+def _sublane_table_names(mxu_visits):
+    """Per-name (M, C) VMEM operands the sublane kernel consumes. In MXU
+    mode the 16 cast-constant rows (n*, ub*, ug*, a*, b*, k) live only
+    inside the packed weight blocks, so they are dropped from the VMEM
+    operand list (15 MB at the 256k flagship)."""
+    if mxu_visits:
+        return ("order", "valid") + _SHADE_CONSTS
+    return _TABLE_NAMES
+
+
+def _mxu_weight_blocks(tables):
+    """(M, 32, C) matmul weight blocks for the MXU-form visit math.
+
+    The visit's four per-slot quantities are linear in per-ray vectors
+    (d, w = d x o, o), so each is one (tile_r, 8) @ (8, C) matmul on the
+    otherwise-idle MXU instead of ~33 VPU elementwise ops per slot:
+
+      rows  0:8   alpha   = d.n            vs R_dw = [d, w, 0, 0]
+      rows  8:16  beta_n  = d.ub - w.b     vs R_dw
+      rows 16:24  gamma_n = w.a - d.ug     vs R_dw
+      rows 24:32  t_n     = k - o.n        vs R_o1 = [o, 1, 0, 0, 0, 0]
+
+    The minus signs are folded into the weights; k rides as the constant
+    row against R_o1's 1-lane. Accumulation order/rounding differs from
+    the VPU form (MXU passes), so MXU-vs-VPU parity is allclose, not
+    bit-identical — in-kernel winner logic only ever compares the kernel's
+    own values, so tie-breaks stay self-consistent."""
+    m, c = tables["k"].shape
+    z = jnp.zeros((m, c), jnp.float32)
+    rows = [
+        tables["n0"], tables["n1"], tables["n2"], z, z, z, z, z,
+        tables["ub0"], tables["ub1"], tables["ub2"],
+        -tables["b0"], -tables["b1"], -tables["b2"], z, z,
+        -tables["ug0"], -tables["ug1"], -tables["ug2"],
+        tables["a0"], tables["a1"], tables["a2"], z, z,
+        -tables["n0"], -tables["n1"], -tables["n2"], tables["k"],
+        z, z, z, z,
+    ]
+    return jnp.stack(rows, axis=1)
+
+
+def _mxu_weight_blocks16(tables):
+    """(M, 16, 4C) combined weight block: ONE (tile_r, 16) @ (16, 4C)
+    matmul per visit computes all four per-slot quantities side by side
+    (lane blocks [alpha | beta_n | gamma_n | t_n]), against
+    R16 = [d, w, o, 1, 0...]. Same algebra as _mxu_weight_blocks with the
+    four K=8 contractions fused into one K=16 — quarter the per-visit
+    matmul count (the fixed cost the 4-dot form measured to be paying)."""
+    m, c = tables["k"].shape
+    z = jnp.zeros((m, c), jnp.float32)
+
+    def block(rows3):
+        """(M, 16, C) from a dict of row-index -> (M, C)."""
+        return jnp.stack([rows3.get(i, z) for i in range(16)], axis=1)
+
+    alpha = block({0: tables["n0"], 1: tables["n1"], 2: tables["n2"]})
+    beta = block({0: tables["ub0"], 1: tables["ub1"], 2: tables["ub2"],
+                  3: -tables["b0"], 4: -tables["b1"], 5: -tables["b2"]})
+    gamma = block({0: -tables["ug0"], 1: -tables["ug1"],
+                   2: -tables["ug2"],
+                   3: tables["a0"], 4: tables["a1"], 5: tables["a2"]})
+    tq = block({6: -tables["n0"], 7: -tables["n1"], 8: -tables["n2"],
+                9: tables["k"]})
+    return jnp.concatenate([alpha, beta, gamma, tq], axis=2)
+
+
 def _light_table(soa, o0):
     """(L, 8) f32 SMEM rows: [kind, vx, vy, vz, cr, cg, cb, 0]. Point-light
     positions recentered by o0 (every position in-kernel is recentered);
@@ -330,6 +396,34 @@ def _ceil_to(x, m):
     return -(-x // m) * m
 
 
+def _mxu_visits_enabled():
+    """MXU-form visit math for the sublane (big-M) kernel
+    (CUTRACE_MXU_VISITS): 0 = VPU elementwise form (default), 1 = four
+    (tile_r, 8) @ (8, C) matmuls per visit (_mxu_weight_blocks), 2 = ONE
+    combined (tile_r, 16) @ (16, 4C) matmul per visit
+    (_mxu_weight_blocks16). The MXU forms are allclose to the VPU form,
+    not bit-identical: dot accumulation order differs."""
+    import os
+
+    return int(os.environ.get("CUTRACE_MXU_VISITS", "0") or 0)
+
+
+def _mxu_precision():
+    """MXU pass count for the visit matmuls (CUTRACE_MXU_PRECISION):
+    highest = fp32-faithful multi-pass (the default), default = one bf16
+    pass (A/B instrumentation only: ~1e-3 relative is outside the
+    renderer's parity budget — and it measured SLOWER anyway, see the
+    negative-results log). bf16x3 (HIGH) is not offered: Mosaic raises
+    NotImplementedError for HIGH-precision dots."""
+    import os
+
+    name = os.environ.get("CUTRACE_MXU_PRECISION", "highest")
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
+
+
 def _prefetch_primary_ok(n_tiles: int, m: int) -> bool:
     """Whether the primary-cast cull can use prefetched SMEM mask words:
     the (n_tiles * ceil(M/32)) int32 prefetch operand must leave room in
@@ -346,7 +440,8 @@ def _prefetch_primary_ok(n_tiles: int, m: int) -> bool:
 def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                  any_refl, any_transp, tile_r, secondary_cull,
                  has_planes, has_spheres, node_skip=True, emit_topo=False,
-                 hbm_tables=False, prefetch_primary=True):
+                 hbm_tables=False, prefetch_primary=True,
+                 mxu_visits=False, mxu_precision=None):
     """Build the fused kernel body (python-specialized on static config).
 
     `has_planes`/`has_spheres` statically elide whole primitive kinds
@@ -424,19 +519,43 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             "CUTRACE_SUPER_MIN_M") is None else 0,
     )
 
+    if mxu_visits:
+        _prec = mxu_precision or jax.lax.Precision.HIGHEST
+
+        def _dot8(lhs, rhs):
+            """(tile_r, 8) @ (8, C) on the MXU."""
+            return jax.lax.dot_general(
+                lhs, rhs, (((1,), (0,)), ((), ())),
+                precision=_prec, preferred_element_type=jnp.float32,
+            )
+
     def kernel(hits_ref, rays_ref, *rest):
+        wgt_ref = None
+        tab_hbm_w = wvm_s = None
         if hbm_tables:
             tab_hbm, rest = rest[0], rest[1:]
+            if mxu_visits == 2:
+                tab_hbm_w, rest = rest[0], rest[1:]
             tabs = None
-            (aabb_ref, aabb2_ref, aabbg_ref, mat_ref, plane_ref,
-             sphere_ref, lights_ref, scal_ref, out_ref, bt_s, bk_s, at_s,
-             mst_s, tree_s, bits_s, tvm_s, dma_sem) = rest
+            if mxu_visits == 2:
+                (aabb_ref, aabb2_ref, aabbg_ref, mat_ref, plane_ref,
+                 sphere_ref, lights_ref, scal_ref, out_ref, bt_s, bk_s,
+                 at_s, mst_s, tree_s, bits_s, tvm_s, wvm_s,
+                 dma_sem) = rest
+            else:
+                (aabb_ref, aabb2_ref, aabbg_ref, mat_ref, plane_ref,
+                 sphere_ref, lights_ref, scal_ref, out_ref, bt_s, bk_s,
+                 at_s, mst_s, tree_s, bits_s, tvm_s, dma_sem) = rest
         else:
-            n_tab = len(_TABLE_NAMES)
-            tabs = dict(zip(_TABLE_NAMES, rest[:n_tab]))
+            names = _sublane_table_names(mxu_visits)
+            n_tab = len(names)
+            tabs = dict(zip(names, rest[:n_tab]))
+            rest = rest[n_tab:]
+            if mxu_visits:
+                wgt_ref, rest = rest[0], rest[1:]
             (aabb_ref, aabb2_ref, aabbg_ref, mat_ref, plane_ref,
              sphere_ref, lights_ref, scal_ref, out_ref, bt_s, bk_s, at_s,
-             mst_s, tree_s, bits_s) = rest[n_tab:]
+             mst_s, tree_s, bits_s) = rest
 
         node_counter = [0]  # DF node index (matches replay.topo_layout)
 
@@ -489,6 +608,23 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
             wx = cdy * coz - cdz * coy
             wy = cdz * cox - cdx * coz
             wz = cdx * coy - cdy * cox
+
+            if mxu_visits == 2:
+                # combined per-cast ray matrix (_mxu_weight_blocks16)
+                zc = jnp.zeros_like(cdx)
+                r16 = jnp.concatenate(
+                    [cdx, cdy, cdz, wx, wy, wz, cox, coy, coz,
+                     jnp.ones_like(cox), zc, zc, zc, zc, zc, zc], axis=1)
+            elif mxu_visits:
+                # per-cast ray matrices for the MXU visit form (see
+                # _mxu_weight_blocks): built once per cast, consumed by
+                # every visit's (tile_r, 8) @ (8, C) matmuls
+                zc = jnp.zeros_like(cdx)
+                rdw = jnp.concatenate(
+                    [cdx, cdy, cdz, wx, wy, wz, zc, zc], axis=1)
+                ro1 = jnp.concatenate(
+                    [cox, coy, coz, jnp.ones_like(cox), zc, zc, zc, zc],
+                    axis=1)
 
             # normalized direction: spheres are parametric w.r.t. it
             # (reference quirk, default_schema.hpp:226-251) and shading
@@ -830,18 +966,54 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                             return row
                     else:
                         col = lambda name: tabs[name][pl.ds(mi, 1), :]
-                    n0, n1, n2 = col("n0"), col("n1"), col("n2")
-                    alpha = cdx * n0 + cdy * n1 + cdz * n2  # (tile_r, C)
-                    beta_n = (
-                        cdx * col("ub0") + cdy * col("ub1") + cdz * col("ub2")
-                        - (wx * col("b0") + wy * col("b1") + wz * col("b2"))
-                    )
-                    gamma_n = (
-                        wx * col("a0") + wy * col("a1") + wz * col("a2")
-                        - (cdx * col("ug0") + cdy * col("ug1")
-                           + cdz * col("ug2"))
-                    )
-                    t_n = col("k") - (cox * n0 + coy * n1 + coz * n2)
+                    if mxu_visits == 2:
+                        # combined MXU visit: ONE (tile_r, 16) @ (16, 4C)
+                        # matmul; lane blocks [alpha|beta_n|gamma_n|t_n]
+                        if hbm_tables:
+                            cpw = pltpu.make_async_copy(
+                                tab_hbm_w.at[mi], wvm_s, dma_sem
+                            )
+                            cpw.start()
+                            cpw.wait()
+                            wblk = wvm_s[:]
+                        else:
+                            wblk = wgt_ref[pl.ds(mi * 16, 16), :]
+                        p4 = _dot8(r16, wblk)  # (tile_r, 4C)
+                        cw = p4.shape[1] // 4
+                        alpha = p4[:, 0:cw]
+                        beta_n = p4[:, cw:2 * cw]
+                        gamma_n = p4[:, 2 * cw:3 * cw]
+                        t_n = p4[:, 3 * cw:]
+                    elif mxu_visits:
+                        # MXU-form visit math: 4 matmuls against the
+                        # packed weight blocks (_mxu_weight_blocks) on
+                        # the otherwise-idle systolic array
+                        if hbm_tables:
+                            wsrc = lambda r0: tvm_s[_HBM_TAB_ROWS + r0:
+                                                    _HBM_TAB_ROWS + r0 + 8]
+                        else:
+                            wsrc = lambda r0: wgt_ref[
+                                pl.ds(mi * 32 + r0, 8), :]
+                        alpha = _dot8(rdw, wsrc(0))    # (tile_r, C)
+                        beta_n = _dot8(rdw, wsrc(8))
+                        gamma_n = _dot8(rdw, wsrc(16))
+                        t_n = _dot8(ro1, wsrc(24))
+                    else:
+                        n0, n1, n2 = col("n0"), col("n1"), col("n2")
+                        alpha = cdx * n0 + cdy * n1 + cdz * n2
+                        beta_n = (
+                            cdx * col("ub0") + cdy * col("ub1")
+                            + cdz * col("ub2")
+                            - (wx * col("b0") + wy * col("b1")
+                               + wz * col("b2"))
+                        )
+                        gamma_n = (
+                            wx * col("a0") + wy * col("a1")
+                            + wz * col("a2")
+                            - (cdx * col("ug0") + cdy * col("ug1")
+                               + cdz * col("ug2"))
+                        )
+                        t_n = col("k") - (cox * n0 + coy * n1 + coz * n2)
 
                     degenerate = alpha == 0.0
                     inv = 1.0 / jnp.where(degenerate, 1.0, alpha)
@@ -2365,25 +2537,45 @@ def _run_fused(tables, aabb, aabb2, aabbg, mat_tab, plane, sphere,
         cols_out = 8
     hbm = m * c > _VMEM_TABLE_SLOTS
     prefetch_primary = _prefetch_primary_ok(n_tiles, m)
+    mxu = _mxu_visits_enabled()
     kernel = _make_kernel(
         m, n_pl, n_sp, n_lights, bounces, shadow_steps,
         any_refl, any_transp, tile_r, secondary_cull,
         has_planes, has_spheres, node_skip=node_skip, emit_topo=emit_topo,
         hbm_tables=hbm, prefetch_primary=prefetch_primary,
+        mxu_visits=mxu, mxu_precision=_mxu_precision() if mxu else None,
     )
 
+    hbm_rows = _HBM_TAB_ROWS * (2 if mxu == 1 else 1)
     if hbm:
-        # one stacked (M, 32, C) HBM-resident table; visited clusters are
-        # DMA'd per visit (kernel docstring)
+        # one stacked (M, 32|64, C) HBM-resident table; visited clusters
+        # are DMA'd per visit (kernel docstring). MXU mode 1 appends the
+        # 32 matmul weight rows after the 32 named rows; mode 2 ships the
+        # combined (M, 16, 4C) weight blocks as a second HBM operand.
         tab_in = [pl.BlockSpec(memory_space=pltpu.ANY)]
-        stacked = jnp.zeros((m, _HBM_TAB_ROWS, c), jnp.float32)
+        stacked = jnp.zeros((m, hbm_rows, c), jnp.float32)
         stacked = stacked.at[:, : len(_TABLE_NAMES)].set(
             jnp.stack([tables[k] for k in _TABLE_NAMES], axis=1)
         )
+        if mxu == 1:
+            stacked = stacked.at[:, _HBM_TAB_ROWS:].set(
+                _mxu_weight_blocks(tables)
+            )
         tab_ops = (stacked,)
+        if mxu == 2:
+            tab_in.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            tab_ops += (_mxu_weight_blocks16(tables),)
     else:
-        tab_in = [const((m, c)) for _ in _TABLE_NAMES]
-        tab_ops = tuple(tables[k] for k in _TABLE_NAMES)
+        names = _sublane_table_names(mxu)
+        tab_in = [const((m, c)) for _ in names]
+        tab_ops = tuple(tables[k] for k in names)
+        if mxu == 2:
+            tab_in.append(const((16 * m, 4 * c)))
+            tab_ops += (
+                _mxu_weight_blocks16(tables).reshape(16 * m, 4 * c),)
+        elif mxu:
+            tab_in.append(const((32 * m, c)))
+            tab_ops += (_mxu_weight_blocks(tables).reshape(32 * m, c),)
 
     scratch = [
         pltpu.VMEM((tile_r, 1), jnp.float32),   # best t
@@ -2401,7 +2593,9 @@ def _run_fused(tables, aabb, aabb2, aabbg, mat_tab, plane, sphere,
     ]
     if hbm:
         scratch += [
-            pltpu.VMEM((_HBM_TAB_ROWS, c), jnp.float32),  # streamed block
+            pltpu.VMEM((hbm_rows, c), jnp.float32),  # streamed block
+        ] + ([pltpu.VMEM((16, 4 * c), jnp.float32)]  # streamed weights
+             if mxu == 2 else []) + [
             pltpu.SemaphoreType.DMA(()),
         ]
 

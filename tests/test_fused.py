@@ -343,3 +343,71 @@ def test_fused_group_ordering_multi_group_parity(scenes_dir, monkeypatch):
         same = (a == b) | (np.isinf(a) & np.isinf(b))
         assert same.all(), f"{(~same).sum()} pixels differ vs static order"
     _jax.clear_caches()
+
+
+def test_fused_mxu_visits_parity(scenes_dir, monkeypatch):
+    """The MXU-form visit math (CUTRACE_MXU_VISITS: the four per-slot cast
+    quantities as (tile_r, 8) @ (8, C) matmuls against packed weight
+    blocks — fused._mxu_weight_blocks) must reproduce the VPU elementwise
+    form in every sublane-kernel regime: VMEM tables, the two-level
+    group-exact cull, and the HBM-streamed tables (+ topo emission).
+    The dot's accumulation order differs from the elementwise chain (and
+    the compiled MXU passes differ again), so parity is the fused-vs-
+    composable gate's own budget: last-ulp t reassociation can flip
+    knife-edge winners ON discontinuities only — off-edge pixels must
+    match to float tolerance exactly like _compare demands."""
+    import jax as _jax
+
+    from cutrace_tpu.ops import fused
+    from cutrace_tpu.render.renderer import PreparedScene
+
+    def frame(soa, accel, mxu, bounces=2):
+        monkeypatch.setenv("CUTRACE_MXU_VISITS", "1" if mxu else "0")
+        _jax.clear_caches()
+        try:
+            return render(PreparedScene(soa=soa, accel=accel),
+                          bounces=bounces)
+        finally:
+            monkeypatch.delenv("CUTRACE_MXU_VISITS")
+
+    def check(base, out, label):
+        _compare(base, out, atol=2e-4, edge_budget=0.10)
+
+    # (a) VMEM sublane regime (M=125 > lanes max, exact per-cluster cull)
+    soa = _load(scenes_dir, "bunny.json", 24, 12)
+    accel = bvh.build_accel(soa, 8, kind="fused", interpret=True)
+    assert accel.order.shape[0] > fused._LANES_MAX_M
+    check(frame(soa, accel, False), frame(soa, accel, True), "vmem")
+
+    # (b) group-exact cull regime (the 256k production config's path)
+    orig_exact_cap = fused._EXACT_CULL_MAX_M
+    monkeypatch.setattr(fused, "_EXACT_CULL_MAX_M", 16)
+    soa_g = _load(scenes_dir, "mirror.json", 32, 18)
+    accel_g = bvh.build_accel(soa_g, 4, kind="fused", interpret=True)
+    assert -(-accel_g.order.shape[0] // 128) >= 2
+    check(frame(soa_g, accel_g, False), frame(soa_g, accel_g, True),
+          "group")
+    monkeypatch.setattr(fused, "_EXACT_CULL_MAX_M", orig_exact_cap)
+
+    # (c) HBM-streamed tables + topo emission / replay compose
+    monkeypatch.setattr(fused, "_VMEM_TABLE_SLOTS", 64)
+    from cutrace_tpu.ops.replay import replay_render_rays
+    from cutrace_tpu.render.renderer import camera_rays
+
+    soa_h = _load(scenes_dir, "bunny.json", 20, 12)
+    accel_h = bvh.build_accel(soa_h, 8, kind="fused", interpret=True)
+    check(frame(soa_h, accel_h, False), frame(soa_h, accel_h, True),
+          "hbm")
+    monkeypatch.setenv("CUTRACE_MXU_VISITS", "1")
+    _jax.clear_caches()
+    try:
+        idx = jnp.arange(soa_h.width * soa_h.height, dtype=jnp.int32)
+        o, d = camera_rays(soa_h, idx % soa_h.width, idx // soa_h.width)
+        c3, _, _, codes = fused._fused_forward(
+            soa_h, accel_h, o, d, 1e-3, 2, emit_topo=True)
+        rc, _, _ = replay_render_rays(soa_h, o, d, codes,
+                                      jnp.float32(1e-3), 2)
+        assert float(jnp.abs(rc - c3).max()) < 1e-5
+    finally:
+        monkeypatch.delenv("CUTRACE_MXU_VISITS")
+        _jax.clear_caches()
