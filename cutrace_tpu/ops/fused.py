@@ -102,10 +102,15 @@ _SHADE_CONSTS = (
     "spec", "refl", "phong", "transp", "mat",
 )
 _TABLE_NAMES = _CAST_CONSTS + _SHADE_CONSTS
-# row index of each table in the HBM-stacked (M, 32, C) layout used by the
-# streamed sublane kernel (rows 30-31 padding for (8, 128) tile alignment)
-_TROW = {name: i for i, name in enumerate(_TABLE_NAMES)}
-_HBM_TAB_ROWS = 32
+# rows streamed per visited cluster in the HBM-stacked (M, 24, C) layout
+# (sublane kernel): the 18 cast constants + the 5 winner attributes the
+# visits actually read. Material parameters (colr..transp) never stream —
+# they are deferred to the per-cast one-hot over the (8, n_mats) VMEM
+# table — which cuts the per-visit DMA 25% vs stacking all 30 names.
+# Row 23 pads to the (8, 128) tile.
+_HBM_STREAM_NAMES = _CAST_CONSTS + ("snx", "sny", "snz", "obj", "mat")
+_TROW = {name: i for i, name in enumerate(_HBM_STREAM_NAMES)}
+_HBM_TAB_ROWS = 24
 # material-parameter table rows ((8, n_mats) VMEM operand): the sublane
 # kernel's visits accumulate only the winner's material INDEX and params
 # are fetched once per cast by a one-hot over this table
@@ -505,6 +510,17 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
     # group-rank block below for the A/B numbers)
     group_order = ("noorder" not in ablate
                    and _os_ab.environ.get("CUTRACE_GROUP_ORDER") == "1")
+    # Double-buffered HBM visit streaming (opt-out CUTRACE_HBM_DB=0;
+    # nodma/nodb ablations force the synchronous path so the DMA share
+    # stays measurable). MXU visit modes keep the synchronous v1 path
+    # (negative results — not worth a second weight buffer).
+    double_buf = (
+        hbm_tables and mxu_visits == 0
+        and "nodma" not in ablate and "nodb" not in ablate
+        and _os_ab.environ.get("CUTRACE_HBM_DB", "1") == "1"
+    )
+    # streamed-block rows per slot (MXU mode 1 appends 32 weight rows)
+    hbm_rows_k = _HBM_TAB_ROWS + (32 if mxu_visits == 1 else 0)
 
     # Hierarchical secondary cull (third hierarchy level): the exact
     # per-word supercluster slab AUGMENTS the interval per-cluster cull in
@@ -541,11 +557,12 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 (aabb_ref, aabb2_ref, aabbg_ref, mat_ref, plane_ref,
                  sphere_ref, lights_ref, scal_ref, out_ref, bt_s, bk_s,
                  at_s, mst_s, tree_s, bits_s, tvm_s, wvm_s,
-                 dma_sem) = rest
+                 dma_sem, dbuf_s) = rest
             else:
                 (aabb_ref, aabb2_ref, aabbg_ref, mat_ref, plane_ref,
                  sphere_ref, lights_ref, scal_ref, out_ref, bt_s, bk_s,
-                 at_s, mst_s, tree_s, bits_s, tvm_s, dma_sem) = rest
+                 at_s, mst_s, tree_s, bits_s, tvm_s,
+                 dma_sem, dbuf_s) = rest
         else:
             names = _sublane_table_names(mxu_visits)
             n_tab = len(names)
@@ -945,18 +962,48 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                         )
 
             def visit(mi):
+                    """Dispatch: stream the cluster block (HBM regimes)
+                    then run the math. The double-buffered path overlaps
+                    the DMA with the PREVIOUS cluster's math (db_push);
+                    all per-visit merges are min/max/tie-key folds, so
+                    the one-visit lag changes no output, and the group
+                    refresh reading a one-visit-stale bound stays sound
+                    (a looser bound only keeps more clusters)."""
+                    if hbm_tables and double_buf:
+                        db_push(mi)
+                        return
                     if hbm_tables:
-                        # stream this cluster's table block HBM -> VMEM
-                        # (synchronous v1: ~1-2 us latency vs ~1 us of
-                        # visit math; only VISITED clusters pay it)
-                        cp = pltpu.make_async_copy(
-                            tab_hbm.at[mi], tvm_s, dma_sem
-                        )
-                        cp.start()
-                        cp.wait()
+                        # synchronous fallback (CUTRACE_HBM_DB=0):
+                        # ~1-2 us DMA latency serialized with ~1-2 us of
+                        # visit math. CUTRACE_ABLATE=nodma skips the copy
+                        # (stale scratch -> WRONG output, exact timing):
+                        # the cost-attribution knob for the DMA share.
+                        if "nodma" not in ablate:
+                            cp = pltpu.make_async_copy(
+                                tab_hbm.at[mi],
+                                tvm_s.at[pl.ds(0, hbm_rows_k)],
+                                dma_sem.at[0],
+                            )
+                            cp.start()
+                            cp.wait()
+                    visit_math(mi, 0)
+
+            def visit_math(mi, slot):
+                    """The per-cluster slot test + winner fold. `slot`
+                    selects the streamed block's half of the 2-slot tvm_s
+                    scratch (a PYTHON 0 on the synchronous path — static
+                    slicing — or the traced drain parity when
+                    double-buffered); unused in the VMEM-table regime."""
+                    if hbm_tables:
+                        # ONE dynamic-offset load of the whole slot, then
+                        # static row slices of the loaded value (23
+                        # dynamic-sublane reads per visit measured as
+                        # real overhead in the double-buffered path)
+                        blk = tvm_s[pl.ds(slot * hbm_rows_k,
+                                          hbm_rows_k), :]
 
                         def col(name):
-                            row = tvm_s[_TROW[name]:_TROW[name] + 1, :]
+                            row = blk[_TROW[name]:_TROW[name] + 1, :]
                             # the stacked table is f32; the tie-break key
                             # compares against the i32 bk_s scratch. Order
                             # values are exact in f32 (< 2^24, sentinel
@@ -971,7 +1018,7 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                         # matmul; lane blocks [alpha|beta_n|gamma_n|t_n]
                         if hbm_tables:
                             cpw = pltpu.make_async_copy(
-                                tab_hbm_w.at[mi], wvm_s, dma_sem
+                                tab_hbm_w.at[mi], wvm_s, dma_sem.at[0]
                             )
                             cpw.start()
                             cpw.wait()
@@ -989,8 +1036,8 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                         # packed weight blocks (_mxu_weight_blocks) on
                         # the otherwise-idle systolic array
                         if hbm_tables:
-                            wsrc = lambda r0: tvm_s[_HBM_TAB_ROWS + r0:
-                                                    _HBM_TAB_ROWS + r0 + 8]
+                            wsrc = lambda r0: blk[_HBM_TAB_ROWS + r0:
+                                                  _HBM_TAB_ROWS + r0 + 8]
                         else:
                             wsrc = lambda r0: wgt_ref[
                                 pl.ds(mi * 32 + r0, 8), :]
@@ -1059,6 +1106,53 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                             )
                     bt_s[:] = jnp.where(better, tmin, best_t)
                     bk_s[:] = jnp.where(better, kmin, best_k)
+
+            if hbm_tables and double_buf:
+                # Double-buffered visit streaming: each set cull bit
+                # STARTS the DMA of its cluster block into the free slot
+                # of the 2-slot tvm_s scratch, then runs the math of the
+                # PREVIOUS cluster from the other slot (whose DMA has had
+                # a full visit of math to land). dbuf_s: [0] pending
+                # cluster id (-1 none), [1] slot of the NEXT start.
+                # Invariant: the pending block sits in slot 1 - parity;
+                # every started copy is waited exactly once (at the next
+                # push, or at the post-loop drain), so slot reuse is
+                # safe. Branch-free: slot selection is address arithmetic
+                # (dynamic sublane offset + a 2-element DMA semaphore
+                # array), so visit_math is traced ONCE per drain site —
+                # a pl.when-per-parity version doubled the program and
+                # measured SLOWER than the synchronous copy.
+                def db_reset():
+                    dbuf_s[0] = -1
+                    dbuf_s[1] = 0
+
+                def db_drain(par=None):
+                    par = dbuf_s[1] if par is None else par
+                    pend = dbuf_s[0]
+                    slot = 1 - par
+
+                    @pl.when(pend >= 0)
+                    def _():
+                        pltpu.make_async_copy(
+                            tab_hbm.at[pend],
+                            tvm_s.at[pl.ds(slot * hbm_rows_k,
+                                           hbm_rows_k)],
+                            dma_sem.at[slot],
+                        ).wait()
+                        visit_math(pend, slot)
+
+                def db_push(mi):
+                    par = dbuf_s[1]
+                    pltpu.make_async_copy(
+                        tab_hbm.at[mi],
+                        tvm_s.at[pl.ds(par * hbm_rows_k, hbm_rows_k)],
+                        dma_sem.at[par],
+                    ).start()
+                    db_drain(par)
+                    dbuf_s[0] = mi
+                    dbuf_s[1] = 1 - par
+
+                db_reset()
 
             skip_visit = (
                 ("novisit2" in ablate and not primary)
@@ -1184,6 +1278,10 @@ def _make_kernel(m, n_pl, n_sp, n_lights, bounces, shadow_steps,
                 jax.lax.fori_loop(0, n_words, wbody, 0)
             else:
                 jax.lax.fori_loop(0, m, lambda mi, _: (visit(mi), 0)[1], 0)
+
+            if hbm_tables and double_buf:
+                # flush: the last pushed cluster's math is still pending
+                db_drain()
 
             def merge_kind(tab_ref, n, t, ok):
                 """Cross-kind merge by (t, scene obj); one-hot attr rows."""
@@ -2546,16 +2644,16 @@ def _run_fused(tables, aabb, aabb2, aabbg, mat_tab, plane, sphere,
         mxu_visits=mxu, mxu_precision=_mxu_precision() if mxu else None,
     )
 
-    hbm_rows = _HBM_TAB_ROWS * (2 if mxu == 1 else 1)
+    hbm_rows = _HBM_TAB_ROWS + (32 if mxu == 1 else 0)
     if hbm:
         # one stacked (M, 32|64, C) HBM-resident table; visited clusters
         # are DMA'd per visit (kernel docstring). MXU mode 1 appends the
-        # 32 matmul weight rows after the 32 named rows; mode 2 ships the
+        # 32 matmul weight rows after the named rows; mode 2 ships the
         # combined (M, 16, 4C) weight blocks as a second HBM operand.
         tab_in = [pl.BlockSpec(memory_space=pltpu.ANY)]
         stacked = jnp.zeros((m, hbm_rows, c), jnp.float32)
-        stacked = stacked.at[:, : len(_TABLE_NAMES)].set(
-            jnp.stack([tables[k] for k in _TABLE_NAMES], axis=1)
+        stacked = stacked.at[:, : len(_HBM_STREAM_NAMES)].set(
+            jnp.stack([tables[k] for k in _HBM_STREAM_NAMES], axis=1)
         )
         if mxu == 1:
             stacked = stacked.at[:, _HBM_TAB_ROWS:].set(
@@ -2593,10 +2691,12 @@ def _run_fused(tables, aabb, aabb2, aabbg, mat_tab, plane, sphere,
     ]
     if hbm:
         scratch += [
-            pltpu.VMEM((hbm_rows, c), jnp.float32),  # streamed block
+            # 2-slot streamed block (slot 1 idle on the sync path)
+            pltpu.VMEM((2 * hbm_rows, c), jnp.float32),
         ] + ([pltpu.VMEM((16, 4 * c), jnp.float32)]  # streamed weights
              if mxu == 2 else []) + [
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),  # per-slot DMA semaphores
+            pltpu.SMEM((8,), jnp.int32),    # double-buffer state
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -272,6 +272,24 @@ def test_hbm_streamed_tables_parity(scenes_dir, monkeypatch):
     c4, _, _ = F._fused_forward(soa, accel, o, d, 1e-3, b)
     assert float(jnp.abs(c4 - c1).max()) == 0.0
 
+    # double-buffered visit streaming (the round-5 default: DMA of each
+    # visited block overlapped with the previous block's math) is the
+    # same math in the same order, one visit behind — bit-identical to
+    # the synchronous path
+    monkeypatch.setattr(F, "_prefetch_primary_ok",
+                        lambda n_tiles, m: True)
+    monkeypatch.setenv("CUTRACE_HBM_DB", "0")
+    jax.clear_caches()
+    try:
+        c5, d5, n5 = F._fused_forward(soa, accel, o, d, 1e-3, b)
+    finally:
+        monkeypatch.delenv("CUTRACE_HBM_DB")
+        jax.clear_caches()
+    assert float(jnp.abs(c5 - c1).max()) == 0.0
+    both = jnp.isinf(d5) & jnp.isinf(d1)
+    assert float(jnp.abs(jnp.where(both, 0.0, d5 - d1)).max()) == 0.0
+    assert float(jnp.abs(n5 - n1).max()) == 0.0
+
 
 def test_fused_supercluster_cull_parity(scenes_dir, monkeypatch):
     """The hierarchical secondary cull (exact per-WORD supercluster slab +

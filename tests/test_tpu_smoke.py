@@ -212,3 +212,49 @@ def test_pallas_vjp_grad_parity_on_chip(scenes_dir):
         scale = max(np.abs(b).max(), 1e-6)
         err = np.abs(a - b).max() / scale
         assert err < 5e-4, f"{k}: rel err {err:.3e}"
+
+
+def test_hbm_streamed_db_parity_on_chip(scenes_dir):
+    """The HBM-streamed sublane kernel with DOUBLE-BUFFERED visit DMA
+    (round 5: per-visit block copies overlapped with the previous visit's
+    math, 24-row packed stream) Mosaic-compiled on chip: semaphore-array
+    indexing, dynamic-sublane slot reads and the DMA/math overlap are
+    exactly the op classes interpret mode cannot exercise. Gates: (a)
+    composable-oracle parity, (b) db == synchronous copy bit-identically.
+    The HBM regime is forced by shrinking the VMEM table budget (the same
+    knife the CPU test uses) so the compile stays smoke-sized."""
+    import os
+
+    from test_fused import _compare
+    from cutrace_tpu.ops import fused as _f
+
+    sc = load_scene(scenes_dir / "bunny.json")
+    sc.camera.width, sc.camera.height = 64, 36
+    soa = scene_to_soa(sc)
+    base = render(prepare(soa, accel="none"), bounces=2)
+
+    old_slots = _f._VMEM_TABLE_SLOTS
+    _f._VMEM_TABLE_SLOTS = 64
+    old = os.environ.get("CUTRACE_HBM_DB")
+    try:
+        prepared = prepare(soa, accel="fused")
+        assert (prepared.accel.order.shape[0]
+                * prepared.accel.order.shape[1] > 64)
+        out = render(prepared, bounces=2)
+        jax.block_until_ready(out)
+        _compare(base, out, atol=2e-4, edge_budget=0.10)
+
+        os.environ["CUTRACE_HBM_DB"] = "0"
+        jax.clear_caches()
+        sync = render(prepared, bounces=2)
+        for a, b in zip(out, sync):
+            a, b = np.asarray(a), np.asarray(b)
+            same = (a == b) | (np.isinf(a) & np.isinf(b))
+            assert same.all(), "double-buffered != synchronous copy"
+    finally:
+        _f._VMEM_TABLE_SLOTS = old_slots
+        if old is None:
+            os.environ.pop("CUTRACE_HBM_DB", None)
+        else:
+            os.environ["CUTRACE_HBM_DB"] = old
+        jax.clear_caches()
