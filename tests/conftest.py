@@ -30,6 +30,16 @@ if not ON_TPU:
     # The environment preloads an 'axon' TPU platform plugin that wins over
     # the JAX_PLATFORMS env var; the config knob reliably forces CPU.
     jax.config.update("jax_platforms", "cpu")
+    # Persistent compile cache for the CPU harness too: the deep-replay
+    # parity gates compile multi-minute XLA CPU programs; repeat suite
+    # runs hit the cache even across jax.clear_caches() (content-
+    # addressed on the jaxpr, so cache state cannot change outcomes).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("CUTRACE_TEST_CACHE",
+                       os.path.expanduser("~/.cache/cutrace_tpu_cputests")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 else:
     # the tpu_smoke programs are large; persist their compiles like bench.py
     jax.config.update(

@@ -168,10 +168,17 @@ def test_dead_node_garbage_codes_finite(scenes_dir):
         assert np.allclose(a, b, rtol=2e-3, atol=2e-3 * scale), name
 
 
-@pytest.mark.slow
-def test_kernel_vjp_parity_transparent_deep(scenes_dir):
-    """Flagship tree depth: 63 nodes / 441 topo rows (sphere_plane b5)."""
-    _compare(_prep(scenes_dir, "sphere_plane.json", 16, 8), bounces=5)
+# NOTE (round 5): the authored-depth transparent config (sphere_plane
+# b5: 63-node two-branch tree, 441 topo rows) is gated COMPILED on chip
+# (tests/test_tpu_smoke.py::test_pallas_vjp_transparent_deep_on_chip).
+# It was gated here in interpret mode through round 4
+# (test_kernel_vjp_parity_transparent_deep), but interpret execution of
+# the static unroll scales superlinearly with tree depth and measured
+# > 83 minutes at b5 on this harness (b3 above runs in ~3 min, b4
+# extrapolates to ~40) — while the compiled kernel runs the same program
+# in milliseconds. Structural coverage (two-branch recursion + unrolled
+# march replay) is held by the b3 interpret gate; depth coverage belongs
+# on the chip.
 
 
 @pytest.fixture

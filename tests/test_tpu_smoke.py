@@ -258,3 +258,50 @@ def test_hbm_streamed_db_parity_on_chip(scenes_dir):
         else:
             os.environ["CUTRACE_HBM_DB"] = old
         jax.clear_caches()
+
+
+def test_pallas_vjp_transparent_deep_on_chip(scenes_dir):
+    """The flagship transparent config's Pallas replay-VJP — sphere_plane
+    at bounces 5 (63-node two-branch tree, 441 topo rows, static-unrolled
+    march replay) — Mosaic-compiled on chip vs the XLA replay backward.
+    This exact config runs as the CPU interpret gate only at bounces 4:
+    interpret-mode execution of the 63-node unroll measured > 80 min
+    (round 5), while the compiled kernel runs it in milliseconds — depth
+    coverage belongs on the chip."""
+    import os
+
+    from cutrace_tpu.ops.replay_vjp import replay_vjp_supported
+
+    sc = load_scene(scenes_dir / "sphere_plane.json")
+    sc.camera.width, sc.camera.height = 64, 36
+    prepared = prepare(sc, accel="fused")
+    soa, accel = prepared.soa, prepared.accel
+    bounces = 5
+    assert soa.any_transparent
+    assert replay_vjp_supported(soa, bounces)
+    idx = jnp.arange(64 * 36, dtype=jnp.int32)
+    o, d = camera_rays(soa, idx % 64, idx // 64)
+    params = extract_params(soa)
+    tgt, _, _ = fused_render_rays(soa, accel, o, d, 1e-3, bounces)
+    tgt = jax.lax.stop_gradient(tgt) * 0.9
+
+    def loss(p, marker):
+        s = with_params(soa, p)
+        o2, d2 = camera_rays(s, idx % 64, idx // 64)
+        c, _, _ = fused_render_rays(s, accel, o2, d2, 1e-3, bounces)
+        return jnp.mean((c - tgt) ** 2) + 0.0 * marker
+
+    g_kernel = jax.jit(jax.grad(lambda p: loss(p, 1.0)))(params)
+    os.environ["CUTRACE_REPLAY_VJP"] = "0"
+    jax.clear_caches()
+    try:
+        g_xla = jax.jit(jax.grad(lambda p: loss(p, 2.0)))(params)
+    finally:
+        os.environ.pop("CUTRACE_REPLAY_VJP", None)
+        jax.clear_caches()
+    for k in g_kernel:
+        a, b = np.asarray(g_kernel[k]), np.asarray(g_xla[k])
+        assert np.isfinite(a).all(), k
+        scale = max(np.abs(b).max(), 1e-6)
+        err = np.abs(a - b).max() / scale
+        assert err < 5e-4, f"{k}: rel err {err:.3e}"
