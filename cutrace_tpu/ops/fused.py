@@ -2650,7 +2650,7 @@ def _run_fused(tables, aabb, aabb2, aabbg, mat_tab, plane, sphere,
         # are DMA'd per visit (kernel docstring). MXU mode 1 appends the
         # 32 matmul weight rows after the named rows; mode 2 ships the
         # combined (M, 16, 4C) weight blocks as a second HBM operand.
-        tab_in = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        tab_in = [pl.BlockSpec(memory_space=pl.ANY)]
         stacked = jnp.zeros((m, hbm_rows, c), jnp.float32)
         stacked = stacked.at[:, : len(_HBM_STREAM_NAMES)].set(
             jnp.stack([tables[k] for k in _HBM_STREAM_NAMES], axis=1)
@@ -2661,7 +2661,7 @@ def _run_fused(tables, aabb, aabb2, aabbg, mat_tab, plane, sphere,
             )
         tab_ops = (stacked,)
         if mxu == 2:
-            tab_in.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            tab_in.append(pl.BlockSpec(memory_space=pl.ANY))
             tab_ops += (_mxu_weight_blocks16(tables),)
     else:
         names = _sublane_table_names(mxu)
